@@ -1,0 +1,55 @@
+"""Analog demodulators — block-parallel reformulations.
+
+FM quadrature discrimination in the reference carries the previous sample's
+phase through a per-sample loop (``core/src/dsp/demod/quadrature.h:39-46``).
+The phase *difference* is order-free:
+
+    d[n] = angle(x[n] * conj(x[n-1])) / (2*pi*deviation/fs)
+
+so on TPU it is one shifted multiply + atan2 across the whole block; the
+only carry is the last input sample.  We use exact atan2 where the reference
+uses a fast polynomial approximation (``math/fast_atan2.h``) — strictly more
+accurate, identical semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.block import StreamOp
+from .taps import hz_to_rads
+
+
+class Quadrature(StreamOp):
+    """FM discriminator (``demod/quadrature.h``).
+
+    Output is the per-sample phase increment scaled by 1/(2*pi*dev/fs), so a
+    tone at +deviation Hz demodulates to +1.0.
+    State: previous complex sample (init 1+0j == initial phase 0, matching
+    the reference's ``phase = 0.0f`` start).
+    """
+
+    def __init__(self, deviation_hz: float, samplerate: float):
+        self.inv_deviation = np.float32(1.0 / hz_to_rads(deviation_hz, samplerate))
+
+    def init_state(self):
+        return np.ones((), np.complex64)
+
+    def __call__(self, state, x):
+        state = jnp.asarray(state)
+        ext = jnp.concatenate([state[None], x])
+        d = ext[1:] * jnp.conj(ext[:-1])
+        y = jnp.arctan2(d.imag, d.real) * self.inv_deviation
+        return x[-1], y
+
+
+def complex_to_real(x: jax.Array) -> jax.Array:
+    """``convert::ComplexToReal`` — take the real part."""
+    return x.real
+
+
+def real_to_complex(x: jax.Array) -> jax.Array:
+    """``convert::RealToComplex`` — zero imaginary part."""
+    return x.astype(jnp.complex64)

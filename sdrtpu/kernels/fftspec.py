@@ -1,0 +1,82 @@
+"""FFT spectrum / waterfall computation.
+
+Replaces the reference FFT branch — Reshaper keep/skip framing
+(``core/src/dsp/buffer/reshaper.h:101-128``), window multiply, FFTW
+execute, and dB power spectrum (``core/src/signal_path/
+iq_frontend.cpp:248-267``) — with one batched jnp.fft over all frames in a
+block.
+
+Framing math matches ``IQFrontEnd::genReshapeParams``
+(``iq_frontend.h:59-63``): per FFT interval ``round(fs/fft_rate)`` input
+samples, of which ``nz = min(interval, fft_size)`` are windowed (zero-padded
+to ``fft_size``) and the rest skipped.  The reference centers spectra by
+multiplying the window with (-1)^i (``iq_frontend.cpp:287-290``); we use an
+explicit ``fftshift``, which is identical for even sizes.
+
+dB conversion: ``10*log10(|X|^2 / fft_size^2)`` — the same shape as VOLK's
+power-spectrum kernel with normalization ``fft_size``
+(``iq_frontend.cpp:261``); any constant offset is irrelevant to display,
+SNR estimation and squelch thresholds.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.block import StreamOp
+from .windows import periodic_window
+
+
+def gen_reshape_params(samplerate: float, fft_size: int, fft_rate: float):
+    """(skip, nz_samp_count) per ``IQFrontEnd::genReshapeParams``."""
+    fft_interval = round(samplerate / fft_rate)
+    nz = min(fft_interval, fft_size)
+    return fft_interval - nz, nz
+
+
+class SpectrumAnalyzer(StreamOp):
+    """Block of IQ -> (frames, fft_size) centered dB spectra.
+
+    Block lengths must be a multiple of the FFT interval (keep+skip) so each
+    block yields a static number of frames; the framing layer guarantees
+    this.  The waterfall view (zoom, palette) consumes these arrays
+    host-side (`sdrtpu/apps/waterfall.py`).
+    """
+
+    def __init__(
+        self,
+        samplerate: float,
+        fft_size: int = 65536,
+        fft_rate: float = 20.0,
+        window: str = "nuttall",
+    ):
+        self.samplerate = float(samplerate)
+        self.fft_size = int(fft_size)
+        self.fft_rate = float(fft_rate)
+        skip, nz = gen_reshape_params(samplerate, fft_size, fft_rate)
+        self.skip = skip
+        self.nz_size = nz
+        self.interval = skip + nz
+        self.window = periodic_window(window, nz).astype(np.float32)
+
+    def init_state(self):
+        return ()
+
+    def out_len(self, n: int) -> int:
+        assert n % self.interval == 0, (
+            f"block length {n} must be a multiple of FFT interval {self.interval}"
+        )
+        return n // self.interval
+
+    def __call__(self, state, x):
+        n = x.shape[-1]
+        frames = x.reshape(n // self.interval, self.interval)[:, : self.nz_size]
+        frames = frames * jnp.asarray(self.window)
+        if self.nz_size < self.fft_size:
+            frames = jnp.pad(frames, ((0, 0), (0, self.fft_size - self.nz_size)))
+        spec = jnp.fft.fft(frames, axis=-1)
+        spec = jnp.fft.fftshift(spec, axes=-1)
+        power = spec.real**2 + spec.imag**2
+        db = 10.0 * jnp.log10(power / np.float32(self.fft_size**2) + 1e-20)
+        return state, db.astype(jnp.float32)

@@ -1,0 +1,83 @@
+"""First-order IIR recurrences as parallel (associative) scans.
+
+The reference implements its one-pole filters as per-sample loops:
+de-emphasis ``out[i] = a*in[i] + (1-a)*out[i-1]``
+(``core/src/dsp/filter/deephasis.h:58-77``) and the DC blocker
+``out[i] = in[i] - offset; offset += out[i]*rate``
+(``core/src/dsp/correction/dc_blocker.h:54-58``).  Both are *linear*
+recurrences ``y[n] = a*y[n-1] + b[n]``, so on TPU we evaluate them with
+`lax.associative_scan` in O(log n) depth — fully parallel across the block —
+instead of a sequential 48k-step loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.block import StreamOp
+
+
+def first_order_recurrence(a, b: jax.Array, y0, axis: int = -1) -> jax.Array:
+    """Solve y[n] = a[n]*y[n-1] + b[n] (y[-1]=y0) via associative scan.
+
+    ``a`` may be a scalar or an array broadcastable to ``b``.  Composition of
+    affine maps (a1,b1) then (a2,b2) is (a1*a2, a2*b1 + b2) — associative.
+    """
+    a_arr = jnp.broadcast_to(jnp.asarray(a, b.dtype), b.shape)
+
+    def comb(l, r):
+        al, bl = l
+        ar, br = r
+        return (al * ar, bl * ar + br)
+
+    A, B = jax.lax.associative_scan(comb, (a_arr, b), axis=axis)
+    return A * y0 + B
+
+
+class Deemphasis(StreamOp):
+    """FM de-emphasis one-pole lowpass (``deephasis.h``).
+
+    ``alpha = dt / (tau + dt)``; tau is 50e-6/75e-6 s (or 22e-6 for NFM).
+    Works on real blocks shaped (..., n) — e.g. (2, n) stereo.
+    """
+
+    def __init__(self, tau: float, samplerate: float, channels: int = 1):
+        dt = 1.0 / float(samplerate)
+        self.alpha = np.float32(dt / (float(tau) + dt))
+        self.channels = channels
+
+    def init_state(self):
+        if self.channels == 1:
+            return np.zeros((), np.float32)
+        return np.zeros((self.channels, 1), np.float32)
+
+    def __call__(self, state, x):
+        y = first_order_recurrence(
+            np.float32(1.0) - self.alpha, self.alpha * x, state
+        )
+        new_state = y[..., -1:] if self.channels > 1 else y[..., -1]
+        return new_state, y
+
+
+class DcBlocker(StreamOp):
+    """DC tracking subtractor (``dc_blocker.h:54-58``).
+
+    offset[n] = (1-rate)*offset[n-1] + rate*x[n];  out[n] = x[n] - offset[n-1].
+    Default rate matches ``IQFrontEnd`` usage (rate set per samplerate).
+    """
+
+    def __init__(self, rate: float, dtype=jnp.complex64):
+        self.rate = np.float32(rate)
+        self.dtype = dtype
+
+    def init_state(self):
+        return np.zeros((), np.dtype(self.dtype))
+
+    def __call__(self, state, x):
+        state = jnp.asarray(state)
+        rate = jnp.asarray(self.rate, x.dtype)
+        offsets = first_order_recurrence(1.0 - rate, rate * x, state)
+        prev = jnp.concatenate([state[None], offsets[:-1]])
+        return offsets[-1], x - prev

@@ -1,0 +1,273 @@
+"""Feedback control loops: PLL, Costas, AGC.
+
+These are the genuinely sequential recurrences of the reference
+(``core/src/dsp/loop/{phase_control_loop,pll,costas,agc}.h``).  Two
+implementations each:
+
+- **Exact scan** (`Pll`, `Costas`, `Agc`): `lax.scan` with the reference's
+  per-sample update, bit-faithful to ``phase_control_loop.h:58-66`` /
+  ``agc.h:70-110``.  Used for parity tests and low-rate paths.
+- **Block-parallel redesigns** (`NormalizedPilot`, `pilot_phase_fit`,
+  `BlockAgc`): feed-forward estimators with no sequential carry, the
+  TPU-native path used in the streaming hot loops.  For the WFM stereo
+  pilot, a per-block linear phase regression on the filtered 19 kHz pilot
+  is equivalent to an extremely narrow PLL — *better* noise rejection than
+  the reference's 25000/fs-bandwidth loop, fully parallel.
+
+Loop coefficient design matches ``PhaseControlLoop::criticallyDamped``
+(``phase_control_loop.h:33-38``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.block import StreamOp
+
+_PI = np.float32(np.pi)
+_TWO_PI = np.float32(2.0 * np.pi)
+
+
+def critically_damped(bandwidth: float) -> tuple[float, float]:
+    """alpha/beta for a critically damped 2nd-order loop (``pcl.h:33-38``)."""
+    zeta = np.sqrt(2.0) / 2.0
+    denom = 1.0 + 2.0 * zeta * bandwidth + bandwidth * bandwidth
+    alpha = (4.0 * zeta * bandwidth) / denom
+    beta = (4.0 * bandwidth * bandwidth) / denom
+    return float(alpha), float(beta)
+
+
+def _wrap_pi(phase):
+    """Wrap to (-pi, pi] — branch-free version of pcl clampPhase."""
+    return phase - _TWO_PI * jnp.round(phase / _TWO_PI)
+
+
+class Pll(StreamOp):
+    """Carrier-tracking PLL, exact reference semantics (``pll.h:64-70``).
+
+    Emits the VCO phasor exp(i*phase) *before* advancing on each sample's
+    phase error.  State: (phase, freq) float32.
+    """
+
+    def __init__(
+        self,
+        bandwidth: float,
+        init_phase: float = 0.0,
+        init_freq: float = 0.0,
+        min_freq: float = -np.pi,
+        max_freq: float = np.pi,
+    ):
+        self.alpha, self.beta = critically_damped(bandwidth)
+        self.init_phase = float(init_phase)
+        self.init_freq = float(init_freq)
+        self.min_freq = float(min_freq)
+        self.max_freq = float(max_freq)
+
+    def init_state(self):
+        return (
+            np.float32(self.init_phase),
+            np.float32(self.init_freq),
+        )
+
+    def __call__(self, state, x):
+        alpha = np.float32(self.alpha)
+        beta = np.float32(self.beta)
+        fmin = np.float32(self.min_freq)
+        fmax = np.float32(self.max_freq)
+
+        def step(carry, xi):
+            phase, freq = carry
+            vco = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+            err = _wrap_pi(jnp.arctan2(xi.imag, xi.real) - phase)
+            freq = jnp.clip(freq + beta * err, fmin, fmax)
+            phase = _wrap_pi(phase + freq + alpha * err)
+            return (phase, freq), vco
+
+        state, vco = jax.lax.scan(step, state, x)
+        return state, vco
+
+
+class Costas(StreamOp):
+    """Costas loop of order 2/4/8 (``costas.h:17-46``).
+
+    Outputs the downmixed signal x * exp(-i*phase); error function per order.
+    """
+
+    def __init__(
+        self,
+        order: int,
+        bandwidth: float,
+        init_phase: float = 0.0,
+        init_freq: float = 0.0,
+        min_freq: float = -np.pi,
+        max_freq: float = np.pi,
+    ):
+        assert order in (2, 4, 8)
+        self.order = order
+        self.alpha, self.beta = critically_damped(bandwidth)
+        self.init_phase = float(init_phase)
+        self.init_freq = float(init_freq)
+        self.min_freq = float(min_freq)
+        self.max_freq = float(max_freq)
+
+    def init_state(self):
+        return (np.float32(self.init_phase), np.float32(self.init_freq))
+
+    def _error(self, v):
+        step = lambda t: jnp.where(t > 0, 1.0, -1.0).astype(jnp.float32)
+        if self.order == 2:
+            err = v.real * v.imag
+        elif self.order == 4:
+            err = step(v.real) * v.imag - step(v.imag) * v.real
+        else:
+            K = np.float32(np.sqrt(2.0) - 1.0)
+            e_big = step(v.real) * v.imag - step(v.imag) * v.real * K
+            e_small = step(v.real) * v.imag * K - step(v.imag) * v.real
+            err = jnp.where(jnp.abs(v.real) >= jnp.abs(v.imag), e_big, e_small)
+        return jnp.clip(err, -1.0, 1.0)
+
+    def __call__(self, state, x):
+        alpha = np.float32(self.alpha)
+        beta = np.float32(self.beta)
+        fmin = np.float32(self.min_freq)
+        fmax = np.float32(self.max_freq)
+
+        def step(carry, xi):
+            phase, freq = carry
+            out = xi * jax.lax.complex(jnp.cos(-phase), jnp.sin(-phase))
+            err = self._error(out)
+            freq = jnp.clip(freq + beta * err, fmin, fmax)
+            phase = _wrap_pi(phase + freq + alpha * err)
+            return (phase, freq), out
+
+        state, y = jax.lax.scan(step, state, x)
+        return state, y
+
+
+class Agc(StreamOp):
+    """Attack/decay AGC, exact reference semantics (``agc.h:70-110``).
+
+    The clipping look-ahead ("scan remaining block for max") is reproduced
+    by feeding the scan a precomputed suffix-max of |x|.
+    State: running average amplitude ``amp`` (init setPoint/initGain).
+    """
+
+    def __init__(
+        self,
+        set_point: float,
+        attack: float,
+        decay: float,
+        max_gain: float = 1e4,
+        max_output_amp: float = 10.0,
+        init_gain: float = 1.0,
+    ):
+        self.set_point = float(set_point)
+        self.attack = float(attack)
+        self.decay = float(decay)
+        self.max_gain = float(max_gain)
+        self.max_output_amp = float(max_output_amp)
+        self.init_gain = float(init_gain)
+
+    def init_state(self):
+        return np.float32(self.set_point / self.init_gain)
+
+    def __call__(self, state, x):
+        in_amp = jnp.abs(x).astype(jnp.float32)
+        # suffix max: max over [i, end) — reversed cummax
+        suffix_max = jnp.flip(jax.lax.cummax(jnp.flip(in_amp)))
+        atk = np.float32(self.attack)
+        dcy = np.float32(self.decay)
+        sp = np.float32(self.set_point)
+        mg = np.float32(self.max_gain)
+        moa = np.float32(self.max_output_amp)
+
+        def step(amp, inputs):
+            ia, smax = inputs
+            amp_new = jnp.where(
+                ia > amp,
+                amp * (1 - atk) + ia * atk,
+                amp * (1 - dcy) + ia * dcy,
+            )
+            amp_new = jnp.where(ia != 0.0, amp_new, amp)
+            gain = jnp.where(ia != 0.0, jnp.minimum(sp / amp_new, mg), 1.0)
+            clip = ia * gain > moa
+            amp_new = jnp.where(clip, smax, amp_new)
+            gain = jnp.where(clip, jnp.minimum(sp / amp_new, mg), gain)
+            return amp_new, gain
+
+        state, gains = jax.lax.scan(step, state, (in_amp, suffix_max))
+        return state, x * gains.astype(x.real.dtype)
+
+
+class FastAgc(StreamOp):
+    """Simple multiplicative AGC (``loop/fast_agc.h`` capability).
+
+    Block-parallel: normalizes by a smoothed mean amplitude computed with a
+    one-pole whose per-block steady state is carried between blocks.  Used in
+    digital chains (PSK/meteor) where only rough level control is needed.
+    """
+
+    def __init__(self, set_point: float = 1.0, rate: float = 1e-3):
+        self.set_point = np.float32(set_point)
+        self.rate = float(rate)
+
+    def init_state(self):
+        return np.float32(1.0)
+
+    def __call__(self, state, x):
+        from .iir import first_order_recurrence
+
+        state = jnp.asarray(state)
+        amps = jnp.abs(x).astype(jnp.float32)
+        r = np.float32(self.rate)
+        avg = first_order_recurrence(np.float32(1.0) - r, r * amps, state)
+        prev = jnp.concatenate([state[None], avg[:-1]])
+        gain = self.set_point / jnp.maximum(prev, 1e-12)
+        return avg[-1], x * gain.astype(x.real.dtype)
+
+
+class NormalizedPilot(StreamOp):
+    """Block-parallel pilot 'PLL': vco = p / |p| on the filtered pilot.
+
+    TPU-native replacement for the stereo pilot PLL
+    (``broadcast_fm.h:45,169-171``): the pilot bandpass has already
+    isolated the 19 kHz tone, so its normalized phasor *is* the locked VCO.
+    No sequential carry, no state.
+    """
+
+    def init_state(self):
+        return ()
+
+    def __call__(self, state, p):
+        mag = jnp.abs(p)
+        vco = jnp.where(mag > 1e-12, p / jnp.maximum(mag, 1e-12), 1.0 + 0.0j)
+        return state, vco.astype(jnp.complex64)
+
+
+def pilot_phase_fit(p: jax.Array, f_nominal: float, fs: float) -> jax.Array:
+    """Per-block linear phase regression on a filtered pilot tone.
+
+    Equivalent to an infinitely-narrow PLL over the block: unwraps the
+    pilot phase relative to the nominal frequency, least-squares fits
+    ``theta[n] = a + b*n`` and returns exp(i*theta_fit).  Superior noise
+    rejection to the reference's wideband loop; fully parallel.
+    """
+    n = p.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.float32)
+    omega = np.float32(2.0 * np.pi * f_nominal / fs)
+    # Residual phase after removing nominal rotation — slow, unwrap-safe.
+    resid = p * jnp.exp(-1j * omega * idx)
+    theta = jnp.unwrap(jnp.arctan2(resid.imag, resid.real))
+    # LS fit a + b*n
+    nf = np.float32(n)
+    sx = jnp.sum(idx)
+    sxx = jnp.sum(idx * idx)
+    sy = jnp.sum(theta)
+    sxy = jnp.sum(idx * theta)
+    denom = nf * sxx - sx * sx
+    b = (nf * sxy - sx * sy) / denom
+    a = (sy - b * sx) / nf
+    theta_fit = a + b * idx + omega * idx
+    return jnp.exp(1j * theta_fit).astype(jnp.complex64)

@@ -1,0 +1,155 @@
+"""WFM broadcast demodulator: mono/stereo with pilot recovery + RDS tap.
+
+Re-expresses ``dsp::demod::BroadcastFM``
+(``core/src/dsp/demod/broadcast_fm.h:144-215``) as one block-parallel
+program:
+
+    m      = quadrature_discriminate(iq)                 # MPX
+    p      = bandpass_18750_19250(m)                     # pilot (complex)
+    vco    = pilot tracking (see below)
+    lmr    = 2 * Re( delay(m) * conj(vco)^2 )            # 38 kHz DSB decode
+    L, R   = lpf(delay(m) + lmr), lpf(delay(m) - lmr)
+    rds    = resample(xlate(m, -57 kHz), 5 kHz)          # optional tap
+
+Pilot tracking modes:
+- ``"normalized"`` (default): vco = p/|p| — the filtered pilot *is* the
+  locked VCO; zero sequential work.
+- ``"regression"``: per-block linear phase fit (`loops.pilot_phase_fit`) —
+  an effectively zero-bandwidth PLL, best SNR.
+- ``"pll"``: exact reference scan PLL (19 kHz +/-250 Hz, bw 25000/fs per
+  ``broadcast_fm.h:45``) for bit-level parity testing.
+
+Delay alignment matches the reference: both the L+R (real MPX) and L-R
+(complex MPX) paths are delayed by ``(pilot_taps-1)/2 + 1`` samples
+(``broadcast_fm.h:46-47``); in normalized/regression modes the +1 PLL
+compensation sample is unnecessary but kept for output-comparison parity.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.block import StreamOp
+from . import taps as tapsmod
+from .demod import Quadrature
+from .fir import Fir
+from .loops import NormalizedPilot, Pll, pilot_phase_fit
+from .mixer import FreqXlator
+from .resample import RationalResampler
+from .util import Delay
+
+
+class BroadcastFm(StreamOp):
+    """WFM demod: complex IQ at `samplerate` -> (2, n) stereo audio at IF rate.
+
+    ``deviation`` defaults to bandwidth/2 as wired by the radio module
+    (``decoder_modules/radio/src/demodulators/wfm.h:79``); the standard IF
+    rate is 250 kHz (``wfm.h:268``).
+    """
+
+    def __init__(
+        self,
+        deviation: float = 75000.0,
+        samplerate: float = 250000.0,
+        stereo: bool = True,
+        low_pass: bool = True,
+        rds_out: bool = False,
+        pilot_mode: str = "normalized",
+    ):
+        self.samplerate = float(samplerate)
+        self.stereo = stereo
+        self.low_pass = low_pass
+        self.rds_out = rds_out
+        assert pilot_mode in ("normalized", "regression", "pll")
+        self.pilot_mode = pilot_mode
+
+        self.quad = Quadrature(deviation, samplerate)
+        pilot_taps = tapsmod.band_pass(
+            18750.0, 19250.0, 3000.0, samplerate, odd_tap_count=True
+        )
+        self.pilot_fir = Fir(pilot_taps, dtype=jnp.complex64)
+        d = (len(pilot_taps) - 1) // 2 + 1
+        self.lpr_delay = Delay(d, jnp.float32)
+        self.lmr_delay = Delay(d, jnp.complex64)
+        if pilot_mode == "pll":
+            w19 = tapsmod.hz_to_rads(19000.0, samplerate)
+            self.pilot_pll = Pll(
+                25000.0 / samplerate,
+                init_phase=0.0,
+                init_freq=w19,
+                min_freq=tapsmod.hz_to_rads(18750.0, samplerate),
+                max_freq=tapsmod.hz_to_rads(19250.0, samplerate),
+            )
+        else:
+            self.pilot_pll = NormalizedPilot()
+
+        audio_taps = tapsmod.low_pass(15000.0, 4000.0, samplerate)
+        self.al_fir = Fir(audio_taps, dtype=jnp.float32)
+        self.ar_fir = Fir(audio_taps, dtype=jnp.float32)
+
+        if rds_out:
+            self.rds_xlator = FreqXlator(-57000.0, samplerate)
+            self.rds_resamp = RationalResampler(samplerate, 5000.0)
+        else:
+            self.rds_xlator = None
+            self.rds_resamp = None
+
+    def init_state(self):
+        return {
+            "quad": self.quad.init_state(),
+            "pilot_fir": self.pilot_fir.init_state(),
+            "pll": self.pilot_pll.init_state(),
+            "lpr_delay": self.lpr_delay.init_state(),
+            "lmr_delay": self.lmr_delay.init_state(),
+            "al": self.al_fir.init_state(),
+            "ar": self.ar_fir.init_state(),
+            "rds_xl": self.rds_xlator.init_state() if self.rds_xlator else (),
+            "rds_rs": self.rds_resamp.init_state() if self.rds_resamp else (),
+        }
+
+    def out_len(self, n: int) -> int:
+        return n
+
+    def rds_len(self, n: int) -> int:
+        return self.rds_resamp.out_len(n) if self.rds_resamp else 0
+
+    def __call__(self, state, x):
+        st = dict(state)
+        st["quad"], m = self.quad(state["quad"], x)
+
+        rds = None
+        if not self.stereo:
+            if self.rds_out:
+                mc = m.astype(jnp.complex64)
+                st["rds_xl"], rc = self.rds_xlator(state["rds_xl"], mc)
+                st["rds_rs"], rds = self.rds_resamp(state["rds_rs"], rc)
+            if self.low_pass:
+                st["al"], m = self.al_fir(state["al"], m)
+            out = jnp.stack([m, m])
+            return st, (out, rds)
+
+        mc = m.astype(jnp.complex64)
+        st["pilot_fir"], p = self.pilot_fir(state["pilot_fir"], mc)
+        if self.pilot_mode == "regression":
+            vco = pilot_phase_fit(p, 19000.0, self.samplerate)
+        else:
+            st["pll"], vco = self.pilot_pll(state["pll"], p)
+
+        st["lpr_delay"], lpr = self.lpr_delay(state["lpr_delay"], m)
+        st["lmr_delay"], mcd = self.lmr_delay(state["lmr_delay"], mc)
+
+        vco2 = jnp.conj(vco) * jnp.conj(vco)
+        lmr = 2.0 * (mcd * vco2).real
+
+        if self.rds_out:
+            st["rds_xl"], rc = self.rds_xlator(state["rds_xl"], mc)
+            st["rds_rs"], rds = self.rds_resamp(state["rds_rs"], rc)
+
+        l = lpr + lmr
+        r = lpr - lmr
+        if self.low_pass:
+            st["al"], l = self.al_fir(state["al"], l)
+            st["ar"], r = self.ar_fir(state["ar"], r)
+        out = jnp.stack([l, r])
+        return st, (out, rds)

@@ -1,0 +1,111 @@
+"""Streaming FIR / decimator kernels vs NumPy golden references."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sdrtpu.kernels import taps
+from sdrtpu.kernels.fir import DecimatingFir, Fir, MultistageDecimator
+
+RNG = np.random.default_rng(42)
+
+
+def run_stream(op, x, chunk):
+    state = op.init_state()
+    outs = []
+    for i in range(0, len(x), chunk):
+        state, y = op(state, jnp.asarray(x[i : i + chunk]))
+        outs.append(np.asarray(y))
+    return np.concatenate(outs)
+
+
+def golden_fir(x, h):
+    """Reference semantics: out[i] = sum_t x_hist[i-(T-1)+t] * h[t]."""
+    ext = np.concatenate([np.zeros(len(h) - 1, x.dtype), x])
+    return np.array(
+        [np.dot(ext[i : i + len(h)], h) for i in range(len(x))]
+    )
+
+
+class TestFir:
+    def test_real_matches_golden(self):
+        h = taps.low_pass(0.2, 0.1, 1.0)  # ~38 taps
+        x = RNG.standard_normal(512).astype(np.float32)
+        op = Fir(h, dtype=jnp.float32)
+        y = run_stream(op, x, 512)
+        np.testing.assert_allclose(y, golden_fir(x, h), atol=1e-4)
+
+    def test_complex_signal_real_taps(self):
+        h = taps.low_pass(0.2, 0.1, 1.0)
+        x = (RNG.standard_normal(512) + 1j * RNG.standard_normal(512)).astype(
+            np.complex64
+        )
+        op = Fir(h)
+        y = run_stream(op, x, 512)
+        np.testing.assert_allclose(y, golden_fir(x, h), atol=1e-4)
+
+    def test_complex_taps(self):
+        h = taps.band_pass(0.1, 0.2, 0.05, 1.0)
+        x = (RNG.standard_normal(600) + 1j * RNG.standard_normal(600)).astype(
+            np.complex64
+        )
+        op = Fir(h)
+        y = run_stream(op, x, 600)
+        np.testing.assert_allclose(y, golden_fir(x, h.astype(np.complex128)), atol=1e-4)
+
+    def test_chunked_equals_full(self):
+        h = taps.low_pass(0.2, 0.05, 1.0)
+        x = (RNG.standard_normal(1024) + 1j * RNG.standard_normal(1024)).astype(
+            np.complex64
+        )
+        op = Fir(h)
+        y_full = run_stream(op, x, 1024)
+        y_chunked = run_stream(op, x, 128)
+        np.testing.assert_allclose(y_full, y_chunked, atol=1e-5)
+
+
+class TestDecimatingFir:
+    def test_matches_strided_golden(self):
+        h = taps.half_band()
+        x = (RNG.standard_normal(1024) + 1j * RNG.standard_normal(1024)).astype(
+            np.complex64
+        )
+        op = DecimatingFir(h, 2)
+        y = run_stream(op, x, 256)
+        np.testing.assert_allclose(y, golden_fir(x, h)[::2], atol=1e-4)
+
+    def test_decim4(self):
+        h = taps.low_pass(0.1, 0.05, 1.0)
+        x = RNG.standard_normal(1024).astype(np.float32)
+        op = DecimatingFir(h, 4, dtype=jnp.float32)
+        y = run_stream(op, x, 512)
+        np.testing.assert_allclose(y, golden_fir(x, h)[::4], atol=1e-4)
+
+
+class TestMultistageDecimator:
+    def test_tone_passband_preserved(self):
+        # A tone inside the final passband should survive decimation by 8.
+        fs = 8.0
+        n = np.arange(16384)
+        x = np.exp(2j * np.pi * 0.04 * n).astype(np.complex64)  # 0.32 cycles @ fs
+        op = MultistageDecimator(8)
+        y = run_stream(op, x, 4096)
+        assert len(y) == len(x) // 8
+        # steady-state amplitude ~1
+        assert abs(np.mean(np.abs(y[500:]))) > 0.95
+
+    def test_alias_rejected(self):
+        # A tone near the input Nyquist must be crushed after decim-by-8.
+        n = np.arange(16384)
+        x = np.exp(2j * np.pi * 0.45 * n).astype(np.complex64)
+        op = MultistageDecimator(8)
+        y = run_stream(op, x, 4096)
+        assert np.max(np.abs(y[500:])) < 1e-3
+
+    def test_chunk_invariance(self):
+        x = (RNG.standard_normal(4096) + 1j * RNG.standard_normal(4096)).astype(
+            np.complex64
+        )
+        op = MultistageDecimator(4)
+        y1 = run_stream(op, x, 4096)
+        y2 = run_stream(op, x, 512)
+        np.testing.assert_allclose(y1, y2, atol=1e-5)

@@ -1,0 +1,124 @@
+"""Frequency xlator phase continuity + first-order IIR scans vs loops."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sdrtpu.kernels.iir import DcBlocker, Deemphasis, first_order_recurrence
+from sdrtpu.kernels.mixer import FreqXlator
+
+RNG = np.random.default_rng(7)
+
+
+class TestFreqXlator:
+    def test_tone_shifted_to_dc(self):
+        fs = 240000.0
+        f = 57000.0
+        n = np.arange(8192)
+        x = np.exp(2j * np.pi * f / fs * n).astype(np.complex64)
+        op = FreqXlator(-f, fs)
+        state = op.init_state()
+        state, y = op(state, jnp.asarray(x))
+        y = np.asarray(y)
+        # After mixing down, should be ~constant 1+0j
+        assert np.max(np.abs(y - y[0])) < 1e-3
+        assert abs(abs(y[0]) - 1.0) < 1e-4
+
+    def test_phase_continuity_across_blocks(self):
+        fs = 250000.0
+        f = 19012.7  # non-round frequency
+        n = np.arange(16384)
+        x = np.ones(16384, np.complex64)
+        op = FreqXlator(f, fs)
+        state = op.init_state()
+        chunks = []
+        for i in range(0, len(x), 2048):
+            state, y = op(state, jnp.asarray(x[i : i + 2048]))
+            chunks.append(np.asarray(y))
+        y = np.concatenate(chunks)
+        expected = np.exp(2j * np.pi * f / fs * n)
+        err = np.abs(y - expected)
+        assert np.max(err) < 1e-3
+
+    def test_long_run_no_drift(self):
+        # 100 blocks: phase error must not accumulate beyond float32 noise.
+        fs = 2.4e6
+        f = -311017.3
+        op = FreqXlator(f, fs)
+        state = op.init_state()
+        N = 4096
+        last = None
+        for b in range(100):
+            state, y = op(state, jnp.ones(N, jnp.complex64))
+            last = np.asarray(y)
+        n0 = 99 * N
+        expected = np.exp(2j * np.pi * (np.mod(f / fs * (n0 + np.arange(N)), 1.0)))
+        assert np.max(np.abs(last - expected)) < 2e-3
+
+
+class TestFirstOrder:
+    def test_matches_sequential(self):
+        a = 0.97
+        x = RNG.standard_normal(1000).astype(np.float32)
+        y0 = 0.5
+        y_ref = np.empty_like(x)
+        prev = y0
+        for i, v in enumerate(x):
+            prev = a * prev + v
+            y_ref[i] = prev
+        y = np.asarray(
+            first_order_recurrence(np.float32(a), jnp.asarray(x), np.float32(y0))
+        )
+        np.testing.assert_allclose(y, y_ref, atol=1e-3)
+
+
+class TestDeemphasis:
+    def test_matches_reference_loop(self):
+        fs = 48000.0
+        tau = 50e-6
+        dt = 1.0 / fs
+        alpha = dt / (tau + dt)
+        x = RNG.standard_normal(4096).astype(np.float32)
+        ref = np.empty_like(x)
+        last = 0.0
+        for i, v in enumerate(x):
+            last = alpha * v + (1 - alpha) * last
+            ref[i] = last
+        op = Deemphasis(tau, fs)
+        st = op.init_state()
+        st, y1 = op(st, jnp.asarray(x[:2048]))
+        st, y2 = op(st, jnp.asarray(x[2048:]))
+        y = np.concatenate([np.asarray(y1), np.asarray(y2)])
+        np.testing.assert_allclose(y, ref, atol=1e-4)
+
+    def test_stereo_channels(self):
+        op = Deemphasis(75e-6, 48000.0, channels=2)
+        st = op.init_state()
+        x = RNG.standard_normal((2, 512)).astype(np.float32)
+        st, y = op(st, jnp.asarray(x))
+        assert y.shape == (2, 512)
+        assert st.shape == (2, 1)
+
+
+class TestDcBlocker:
+    def test_matches_reference_loop(self):
+        rate = 0.001
+        x = (RNG.standard_normal(4096) + 0.7).astype(np.float32)
+        ref = np.empty_like(x)
+        offset = 0.0
+        for i, v in enumerate(x):
+            out = v - offset
+            offset += out * rate
+            ref[i] = out
+        op = DcBlocker(rate, dtype=jnp.float32)
+        st = op.init_state()
+        st, y1 = op(st, jnp.asarray(x[:1024]))
+        st, y2 = op(st, jnp.asarray(x[1024:]))
+        y = np.concatenate([np.asarray(y1), np.asarray(y2)])
+        np.testing.assert_allclose(y, ref, atol=1e-3)
+
+    def test_removes_dc(self):
+        op = DcBlocker(0.01, dtype=jnp.complex64)
+        st = op.init_state()
+        x = jnp.full(20000, 1.0 + 0.5j, jnp.complex64)
+        st, y = op(st, x)
+        assert abs(np.asarray(y)[-1]) < 1e-2
