@@ -1,0 +1,98 @@
+"""Flagship pipeline: wideband IQ -> N simultaneous WBFM stereo receivers.
+
+This is BASELINE config 3 ("8 simultaneous VFOs off one 10 Msps capture")
+fused with config 1's WBFM chain: one jitted program takes a wideband IQ
+block and produces N stereo 48 kHz audio streams.
+
+    wideband (fs_in) ──Channelizer──> (C, n_if) @ 250 kHz
+      per channel:  BroadcastFM stereo (pilot-normalized)  -> (2, C, n_if)
+      audio:        RationalResampler 250k->48k (batched)  -> (2, C, n_af)
+                    Deemphasis 50 us                       -> audio out
+
+Reference chain being matched: Splitter -> RxVFO xlator/resampler
+(``iq_frontend.cpp:140-160``, ``rx_vfo.h:89-100``) -> radio WFM demod
+(``demodulators/wfm.h``, ``broadcast_fm.h:144-215``) -> AF resample +
+deemphasis (``radio_module.h:98-110``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..graph.block import StreamOp
+from ..kernels.iir import Deemphasis
+from ..kernels.resample import RationalResampler
+from ..kernels.wfm import BroadcastFm
+from ..shard.channelizer import Channelizer
+
+
+class WbfmMultiVfoPipeline(StreamOp):
+    """Full multi-VFO WBFM receiver as one stream op.
+
+    ``block_len`` is the wideband input block length (must be a multiple of
+    `block_multiple()`).
+    """
+
+    def __init__(
+        self,
+        offsets_hz,
+        in_samplerate: float,
+        block_len: int,
+        if_rate: float = 250000.0,
+        audio_rate: float = 48000.0,
+        deviation: float = 75000.0,
+        stereo: bool = True,
+        tau: float = 50e-6,
+    ):
+        self.offsets = np.asarray(offsets_hz, np.float64)
+        self.n_channels = len(self.offsets)
+        self.block_len = int(block_len)
+        self.channelizer = Channelizer(
+            self.offsets, in_samplerate, if_rate, block_len
+        )
+        self.demod = BroadcastFm(
+            deviation=deviation,
+            samplerate=if_rate,
+            stereo=stereo,
+            pilot_mode="normalized",
+        )
+        self.audio_resamp = RationalResampler(if_rate, audio_rate)
+        # channels=1: scalar initial state broadcasts over the (2, C, n)
+        # batched audio; it stabilizes to (2, C, 1) after the first block.
+        self.deemph = Deemphasis(tau, audio_rate)
+        n_if = self.channelizer.out_len(block_len)
+        assert n_if % self.audio_resamp.block_multiple() == 0, (
+            f"IF block {n_if} not a multiple of audio quantum "
+            f"{self.audio_resamp.block_multiple()}"
+        )
+
+    @staticmethod
+    def block_multiple(in_samplerate, if_rate=250000.0, audio_rate=48000.0) -> int:
+        front = RationalResampler(in_samplerate, if_rate)
+        audio = RationalResampler(if_rate, audio_rate)
+        return front.block_multiple() * audio.block_multiple()
+
+    def init_state(self):
+        return {
+            "chan": self.channelizer.init_state(),
+            "demod": self.demod.init_state(),
+            "audio": self.audio_resamp.init_state(),
+            "deemph": self.deemph.init_state(),
+        }
+
+    def out_len(self, n: int) -> int:
+        n_if = self.channelizer.out_len(n)
+        return self.audio_resamp.out_len(n_if)
+
+    def __call__(self, state, x):
+        st = dict(state)
+        st["chan"], y = self.channelizer(state["chan"], x)  # (C, n_if)
+        st["demod"], (stereo, _) = self.demod(state["demod"], y)  # (2, C, n_if)
+        st["audio"], a = self.audio_resamp(
+            state["audio"], stereo.astype(jnp.complex64)
+        )
+        a = a.real  # (2, C, n_af)
+        st["deemph"], a = self.deemph(state["deemph"], a)
+        return st, a

@@ -38,11 +38,11 @@ class Quadrature(StreamOp):
         return np.ones((), np.complex64)
 
     def __call__(self, state, x):
-        state = jnp.asarray(state)
-        ext = jnp.concatenate([state[None], x])
-        d = ext[1:] * jnp.conj(ext[:-1])
+        state = jnp.broadcast_to(jnp.asarray(state), x.shape[:-1])
+        ext = jnp.concatenate([state[..., None], x], axis=-1)
+        d = ext[..., 1:] * jnp.conj(ext[..., :-1])
         y = jnp.arctan2(d.imag, d.real) * self.inv_deviation
-        return x[-1], y
+        return x[..., -1], y
 
 
 def complex_to_real(x: jax.Array) -> jax.Array:

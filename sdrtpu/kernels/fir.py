@@ -85,9 +85,13 @@ class Fir(StreamOp):
         return n
 
     def __call__(self, state, x):
-        ext = jnp.concatenate([state, x.astype(self.dtype)])
+        x = x.astype(self.dtype)
+        state = jnp.broadcast_to(
+            jnp.asarray(state), x.shape[:-1] + (self.ntaps - 1,)
+        )
+        ext = jnp.concatenate([state, x], axis=-1)
         y = correlate_valid(ext, self.taps)
-        new_state = ext[x.shape[-1] :] if self.ntaps > 1 else state
+        new_state = ext[..., x.shape[-1] :] if self.ntaps > 1 else state
         return new_state, y
 
 
@@ -119,9 +123,13 @@ class DecimatingFir(StreamOp):
     def __call__(self, state, x):
         n = x.shape[-1]
         assert n % self.decimation == 0
-        ext = jnp.concatenate([state, x.astype(self.dtype)])
+        x = x.astype(self.dtype)
+        state = jnp.broadcast_to(
+            jnp.asarray(state), x.shape[:-1] + (self.ntaps - 1,)
+        )
+        ext = jnp.concatenate([state, x], axis=-1)
         y = correlate_valid(ext, self.taps, stride=self.decimation)
-        new_state = ext[n:] if self.ntaps > 1 else state
+        new_state = ext[..., n:] if self.ntaps > 1 else state
         return new_state, y
 
 

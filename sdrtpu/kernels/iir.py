@@ -55,10 +55,10 @@ class Deemphasis(StreamOp):
 
     def __call__(self, state, x):
         y = first_order_recurrence(
-            np.float32(1.0) - self.alpha, self.alpha * x, state
+            np.float32(1.0) - self.alpha, self.alpha * x, jnp.asarray(state)
         )
-        new_state = y[..., -1:] if self.channels > 1 else y[..., -1]
-        return new_state, y
+        # keepdims so the state broadcasts against any (..., n) batch shape
+        return y[..., -1:], y
 
 
 class DcBlocker(StreamOp):

@@ -1,27 +1,33 @@
-"""Polyphase arbitrary resampling, block-parallel.
+"""Multirate resampling: multistage integer decimation + polyphase L/M.
 
-Reimplements the math of ``dsp::multirate::PolyphaseResampler``
-(``core/src/dsp/multirate/polyphase_resampler.h:69-99``) without the
-sequential output loop.  The reference walks outputs one at a time:
+Replaces the reference's multirate stack (``core/src/dsp/multirate/``) with
+a TPU-first design:
 
-    phase_k  = (k * decim) % interp
-    offset_k = floor(k * decim / interp)
-    y[k] = dot(buffer[offset_k : offset_k + T], bank[phase_k])
+- `IntegerDecimator` — decimation by any integer ratio as a cascade of
+  strided shift-and-add FIR stages.  The reference ships precomputed
+  power-of-two half-band plan tables (``decim/plans.h``, "magic optimized
+  FIR script"); we *design* stages on the fly with the classic multistage
+  rule: each stage only needs to attenuate aliases that fold into the final
+  output band, so early (high-rate) stages get very short filters.
+- `PolyphaseResampler` — the reference's sequential per-output loop
+  (``polyphase_resampler.h:69-99``) re-expressed in closed form.  Output
+  indices group into a period of ``interp`` with affine offsets, so each of
+  the ``interp`` phase positions is one strided shift-and-add over the
+  block; no gathers, no sequential carry.  Phase/offset math and the
+  polyphase bank layout (``polyphase_bank.h:28-33``) match the reference
+  exactly.
+- `RationalResampler` — auto-planner in the spirit of
+  ``rational_resampler.h:120-165`` but smarter: instead of only power-of-2
+  pre-decimation (which strands cases like 250k->48k with a 96-phase,
+  9500-tap polyphase), it extracts the largest integer factor of the ratio
+  first (250k->48k becomes int-decim 5 then 50k->48k with 24 phases).
 
-with ``bank[p][t] = taps[t*interp + (interp-1-p)]``
-(``polyphase_bank.h:28-33``) and ``buffer`` carrying ``T-1`` history
-samples.  All indices are affine in ``k``, so we compute every output of the
-block at once: a gather of input frames and a gather of per-output tap rows,
-contracted in one einsum (lowered to the MXU).
+All ops handle leading batch/channel dims (shape ``(..., n)``) so a
+channelizer is just the same program with a channel axis.
 
-Block framing: with input block length n a multiple of ``decim``, the output
-count is exactly ``n * interp / decim`` per block and the starting phase
-returns to zero — shapes stay static and no phase carry is needed (the
-constructor asserts this; the framing layer guarantees it).
-
-``RationalResampler`` reproduces the reference's auto-planning
-(``rational_resampler.h:120-165``): power-of-two pre-decimation, then a
-gcd-reduced polyphase stage with an interp-scaled Nuttall lowpass.
+Block framing: input block lengths must be multiples of
+``block_multiple()`` so per-block output counts are constant and the
+polyphase phase returns to zero — shapes stay static for XLA.
 """
 
 from __future__ import annotations
@@ -34,7 +40,7 @@ import numpy as np
 
 from ..graph.block import StreamOp
 from . import taps as tapsmod
-from .fir import MultistageDecimator
+from .fir import DecimatingFir
 
 
 def build_polyphase_bank(interp: int, taps: np.ndarray) -> np.ndarray:
@@ -53,100 +59,220 @@ def build_polyphase_bank(interp: int, taps: np.ndarray) -> np.ndarray:
     return bank.astype(np.float32)
 
 
-class PolyphaseResampler(StreamOp):
-    """L/M polyphase interpolator-decimator with static block shapes."""
+def design_decimation_stages(
+    in_rate: float, ratio: int, out_bw: float | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """Factor an integer decimation into stages with per-stage filters.
 
-    def __init__(self, interp: int, decim: int, taps: np.ndarray, dtype=jnp.complex64):
+    Returns [(decim_i, taps_i), ...].  Each stage's filter passes the final
+    band (``out_bw``, default 40% of the final output rate) and stops at
+    the next stage's folding edge — the multistage trick that keeps early
+    filters short.
+    """
+    assert ratio >= 1
+    final_rate = in_rate / ratio
+    if out_bw is None:
+        out_bw = 0.4 * final_rate
+
+    # Factor ratio into stages, largest factors first (drop the rate fast).
+    factors: list[int] = []
+    d = ratio
+    for p in (8, 7, 6, 5, 4, 3, 2):
+        while d % p == 0 and d > 1:
+            factors.append(p)
+            d //= p
+    if d > 1:  # leftover large prime factor: its own stage
+        factors.append(d)
+    factors.sort(reverse=True)
+
+    stages = []
+    r = in_rate
+    for di in factors:
+        r_next = r / di
+        stop = r_next - out_bw
+        trans = max(stop - out_bw, 0.05 * r_next)
+        cutoff = min((out_bw + stop) / 2.0, 0.45 * r_next)
+        taps = tapsmod.low_pass(cutoff, trans, r)
+        stages.append((di, taps))
+        r = r_next
+    return stages
+
+
+class IntegerDecimator(StreamOp):
+    """Decimate by an arbitrary integer ratio (multistage strided FIRs).
+
+    Capability superset of ``dsp::multirate::PowerDecimator``
+    (``power_decimator.h``): any integer ratio, filters designed on the fly.
+    """
+
+    def __init__(
+        self, in_rate: float, ratio: int, dtype=jnp.complex64, out_bw: float | None = None
+    ):
+        self.ratio = int(ratio)
+        self.dtype = dtype
+        self.stages = [
+            DecimatingFir(taps, d, dtype)
+            for d, taps in design_decimation_stages(in_rate, ratio, out_bw)
+        ]
+
+    def init_state(self):
+        return tuple(s.init_state() for s in self.stages)
+
+    def out_len(self, n: int) -> int:
+        assert n % self.ratio == 0
+        return n // self.ratio
+
+    def __call__(self, state, x):
+        new_states = []
+        for s, st in zip(self.stages, state):
+            st, x = s(st, x)
+            new_states.append(st)
+        return tuple(new_states), x
+
+
+class PolyphaseResampler(StreamOp):
+    """L/M polyphase interpolator-decimator, block-parallel.
+
+    Reference semantics (``polyphase_resampler.h:69-99``): output k uses
+    ``phase_k = (k*decim) % interp`` and window start
+    ``offset_k = (k*decim) // interp`` into [tail ++ x].  Since
+    ``offset_{k+interp} = offset_k + decim``, outputs reshape to
+    ``(A, interp)`` and each phase column b is one strided shift-and-add:
+
+        out[a, b] = sum_t bank[p_b, t] * ext[a*decim + off_b + t]
+
+    ``method="unrolled"`` (default, interp*tpp <= limit) emits those
+    interp*tpp AXPYs; ``method="gather"`` falls back to a frame gather +
+    einsum for very large banks.
+    """
+
+    UNROLL_LIMIT = 8192
+
+    def __init__(
+        self,
+        interp: int,
+        decim: int,
+        taps: np.ndarray,
+        dtype=jnp.complex64,
+        method: str = "auto",
+    ):
         self.interp = int(interp)
         self.decim = int(decim)
         self.dtype = dtype
         bank = build_polyphase_bank(self.interp, taps)
         self.taps_per_phase = bank.shape[1]
-        self.bank = bank  # host numpy, embedded as constant at trace time
-        self._index_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.bank = bank  # host numpy
+        if method == "auto":
+            method = (
+                "unrolled"
+                if self.interp * self.taps_per_phase <= self.UNROLL_LIMIT
+                else "gather"
+            )
+        assert method in ("unrolled", "gather")
+        self.method = method
 
     def init_state(self):
         return np.zeros((self.taps_per_phase - 1,), np.dtype(self.dtype))
 
     def out_len(self, n: int) -> int:
-        assert (n * self.interp) % self.decim == 0, (
-            f"block length {n} must make n*interp/decim integral "
-            f"(interp={self.interp}, decim={self.decim})"
+        assert n % self.decim == 0, (
+            f"block length {n} must be a multiple of decim={self.decim}"
         )
-        assert n % self.decim == 0 or (n * self.interp) % self.decim == 0
         return (n * self.interp) // self.decim
-
-    def _indices(self, n: int):
-        if n not in self._index_cache:
-            n_out = self.out_len(n)
-            k = np.arange(n_out, dtype=np.int64)
-            phase = ((k * self.decim) % self.interp).astype(np.int32)
-            offset = ((k * self.decim) // self.interp).astype(np.int32)
-            self._index_cache[n] = (offset, phase)
-        return self._index_cache[n]
 
     def __call__(self, state, x):
         n = x.shape[-1]
-        offset, phase = self._indices(n)
-        ext = jnp.concatenate([state, x.astype(self.dtype)])
-        # frames[k, t] = ext[offset_k + t]  (ext already includes T-1 history,
-        # so offset_k indexes the window start exactly like the reference's
-        # &buffer[offset] dot product).
-        t_idx = jnp.arange(self.taps_per_phase, dtype=jnp.int32)
-        frames = ext[offset[:, None] + t_idx[None, :]]
-        tap_rows = jnp.asarray(self.bank[phase])  # host gather: phase is static
-        y = jnp.einsum(
-            "kt,kt->k", frames.real, tap_rows, preferred_element_type=jnp.float32
+        n_out = self.out_len(n)
+        L, M, tpp = self.interp, self.decim, self.taps_per_phase
+        ext = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(state), x.shape[:-1] + (tpp - 1,)), x.astype(self.dtype)],
+            axis=-1,
         )
-        if jnp.iscomplexobj(ext):
-            yi = jnp.einsum(
-                "kt,kt->k", frames.imag, tap_rows, preferred_element_type=jnp.float32
-            )
-            y = jax.lax.complex(y, yi)
-        new_state = ext[n:] if self.taps_per_phase > 1 else state
+        if self.method == "unrolled":
+            A = n_out // L
+            span = (A - 1) * M + 1
+            cols = []
+            for b in range(L):
+                p_b = (b * M) % L
+                off_b = (b * M) // L
+                acc = None
+                for t in range(tpp):
+                    h = float(self.bank[p_b, t])
+                    if h == 0.0:
+                        continue
+                    seg = jax.lax.dynamic_slice_in_dim(ext, off_b + t, span, axis=-1)
+                    if M > 1:
+                        seg = seg[..., ::M]
+                    term = h * seg
+                    acc = term if acc is None else acc + term
+                if acc is None:
+                    acc = jnp.zeros(ext.shape[:-1] + (A,), ext.dtype)
+                cols.append(acc)
+            y = jnp.stack(cols, axis=-1).reshape(ext.shape[:-1] + (n_out,))
+        else:
+            k = np.arange(n_out, dtype=np.int64)
+            phase = ((k * M) % L).astype(np.int32)
+            offset = ((k * M) // L).astype(np.int32)
+            t_idx = np.arange(tpp, dtype=np.int32)
+            frames = ext[..., offset[:, None] + t_idx[None, :]]
+            tap_rows = jnp.asarray(self.bank[phase])  # host gather (static)
+            y = jnp.einsum("...kt,kt->...k", frames.real, tap_rows)
+            if jnp.iscomplexobj(ext):
+                yi = jnp.einsum("...kt,kt->...k", frames.imag, tap_rows)
+                y = jax.lax.complex(y, yi)
+            y = y.astype(ext.dtype) if jnp.iscomplexobj(ext) else y
+        new_state = ext[..., n:]  # trailing tpp-1 samples (per channel)
         return new_state, y
 
 
 class RationalResampler(StreamOp):
-    """Auto-planned arbitrary rate conversion (``rational_resampler.h``).
+    """Arbitrary rate conversion with automatic staging.
 
-    Plan: largest power-of-two pre-decimation (capped at 512 — our halfband
-    cascade depth), then a gcd-reduced polyphase stage whose prototype is a
-    Nuttall lowpass at min(in,out)/2 with 10% transition, scaled by interp.
+    Planner (vs ``rational_resampler.h:120-165``): extract the largest
+    integer factor ``d`` of round(in) with ``in/d >= out`` integral-friendly
+    (multistage `IntegerDecimator`), then a gcd-reduced polyphase stage with
+    the reference's prototype design: Nuttall lowpass at min(in,out)/2,
+    10% transition, scaled by interp.
     """
 
-    MAX_PREDECIM = 512
-
-    def __init__(self, in_samplerate: float, out_samplerate: float, dtype=jnp.complex64):
+    def __init__(
+        self,
+        in_samplerate: float,
+        out_samplerate: float,
+        dtype=jnp.complex64,
+    ):
         self.in_samplerate = float(in_samplerate)
         self.out_samplerate = float(out_samplerate)
         self.dtype = dtype
 
-        predec_power = 0
-        if in_samplerate > out_samplerate:
-            predec_power = min(
-                int(math.floor(math.log2(in_samplerate / out_samplerate))),
-                int(math.log2(self.MAX_PREDECIM)),
-            )
-        predec_ratio = 1 << predec_power
-        int_samplerate = in_samplerate / predec_ratio if predec_power > 0 else in_samplerate
-
-        int_sr = round(int_samplerate)
+        int_sr = round(in_samplerate)
         out_sr = round(out_samplerate)
-        g = math.gcd(int_sr, out_sr)
-        interp = out_sr // g
-        decim = int_sr // g
 
-        actual_out = int_sr * interp / decim
-        self.rate_error_pct = abs((actual_out - out_samplerate) / out_samplerate) * 100.0
+        # Largest integer pre-decimation that keeps the intermediate rate
+        # integral and >= the output rate.
+        d = int_sr // out_sr
+        while d > 1 and int_sr % d != 0:
+            d -= 1
+        mid_sr = int_sr // d if d > 1 else int_sr
+
+        g = math.gcd(mid_sr, out_sr)
+        interp = out_sr // g
+        decim = mid_sr // g
+
+        actual_out = mid_sr * interp / decim
+        self.rate_error_pct = (
+            abs((actual_out - out_samplerate) / out_samplerate) * 100.0
+        )
 
         self.predecim = (
-            MultistageDecimator(predec_ratio, dtype) if predec_power > 0 else None
+            IntegerDecimator(in_samplerate, d, dtype, out_bw=0.4 * out_samplerate)
+            if d > 1
+            else None
         )
         self.interp = interp
         self.decim = decim
         if interp != decim:
-            tap_sr = int_samplerate * interp
+            tap_sr = mid_sr * interp
             bw = min(in_samplerate, out_samplerate) / 2.0
             rtaps = tapsmod.low_pass(bw, bw * 0.1, tap_sr) * np.float32(interp)
             self.resamp = PolyphaseResampler(interp, decim, rtaps, dtype)
@@ -170,8 +296,7 @@ class RationalResampler(StreamOp):
         """Smallest input block length quantum keeping all shapes static."""
         m = self.predecim.ratio if self.predecim else 1
         if self.resamp:
-            d = self.resamp.decim // math.gcd(self.resamp.decim, self.resamp.interp)
-            m *= d
+            m *= self.resamp.decim
         return m
 
     def __call__(self, state, x):

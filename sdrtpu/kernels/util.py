@@ -28,8 +28,12 @@ class Delay(StreamOp):
 
     def __call__(self, state, x):
         n = x.shape[-1]
-        ext = jnp.concatenate([state, x.astype(self.dtype)])
-        return ext[n:], ext[:n]
+        x = x.astype(self.dtype)
+        state = jnp.broadcast_to(
+            jnp.asarray(state), x.shape[:-1] + (self.delay,)
+        )
+        ext = jnp.concatenate([state, x], axis=-1)
+        return ext[..., n:], ext[..., :n]
 
 
 class Volume(StreamOp):

@@ -1,0 +1,141 @@
+"""Multi-VFO channelizer: batched DDC over a channel axis.
+
+The reference fans IQ out to N ``RxVFO`` threads via a Splitter memcpy
+(``core/src/dsp/routing/splitter.h:46-61``, ``iq_frontend.cpp:140-160``);
+each VFO runs rotator -> RationalResampler -> optional lowpass on its own
+thread (``channel/rx_vfo.h:89-100``).  Here the N channels are one more
+array axis: every kernel already operates on ``(..., n)``, so the
+channelizer is the same program with shape ``(C, n)`` — and the channel
+axis is the natural sharding axis across TPU chips (see `mesh.py`).
+
+Phase-ramp precision: per-channel wrapped angle tables are precomputed on
+the host in float64 (same hierarchical scheme as `kernels.mixer`), but
+carried in the *state* pytree rather than closed over — under sharding,
+per-channel constants must travel as sharded arrays, not baked into the
+(single, shared) program.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..graph.block import StreamOp
+from ..kernels.fir import Fir
+from ..kernels.resample import RationalResampler
+from ..kernels import taps as tapsmod
+
+_TWO_PI = 2.0 * np.pi
+_FINE = 1024
+
+
+class MultiVfoMixer(StreamOp):
+    """C-channel frequency translation: y[c] = x * exp(i*omega_c*n).
+
+    To bring channels at +f_c down to baseband pass ``-f_c`` offsets
+    (``RxVFO`` convention).  The block length is fixed at construction so
+    the per-channel wrapped-phase tables live in the state pytree with
+    static shapes.
+    """
+
+    def __init__(self, offsets_hz, samplerate: float, block_len: int):
+        offsets = np.asarray(offsets_hz, np.float64)
+        self.n_channels = len(offsets)
+        self.samplerate = float(samplerate)
+        self.block_len = int(block_len)
+        omega = _TWO_PI * offsets / samplerate  # (C,) float64
+
+        n = self.block_len
+        fine = min(_FINE, n)
+        n_coarse = -(-n // fine)
+        k_fine = np.arange(fine, dtype=np.float64)
+        k_coarse = np.arange(n_coarse, dtype=np.float64) * fine
+        self._fine_t = np.mod(omega[:, None] * k_fine, _TWO_PI).astype(np.float32)
+        self._coarse_t = np.mod(omega[:, None] * k_coarse, _TWO_PI).astype(np.float32)
+        self._delta = np.mod(omega * n, _TWO_PI).astype(np.float32)
+        self._fine = fine
+
+    def init_state(self):
+        return {
+            "phase": np.zeros(self.n_channels, np.float32),
+            "coarse": self._coarse_t,
+            "fine": self._fine_t,
+            "delta": self._delta,
+        }
+
+    def __call__(self, state, x):
+        n = x.shape[-1]
+        assert n == self.block_len, (
+            f"MultiVfoMixer built for block_len={self.block_len}, got {n}"
+        )
+        coarse = jnp.asarray(state["coarse"])  # (C, nc)
+        fine = jnp.asarray(state["fine"])  # (C, K)
+        phase = jnp.asarray(state["phase"])  # (C,)
+        angles = (coarse[:, :, None] + fine[:, None, :]).reshape(
+            self.n_channels, -1
+        )[:, :n]
+        angles = angles + phase[:, None]
+        rot = jax.lax.complex(jnp.cos(angles), jnp.sin(angles))
+        y = x * rot if x.ndim > 1 else x[None, :] * rot
+        new_phase = jnp.mod(
+            phase + jnp.asarray(state["delta"]), np.float32(_TWO_PI)
+        )
+        return {**state, "phase": new_phase}, y
+
+
+class Channelizer(StreamOp):
+    """N simultaneous VFOs: mixer -> shared-rate resampler -> opt. lowpass.
+
+    All channels share the output sample rate (the common case: N radio
+    VFOs at the same IF rate), so the resampler program is identical per
+    channel and vectorizes over the leading axis for free.
+    Parity: ``RxVFO`` (``rx_vfo.h:89-100``) per channel.
+    """
+
+    def __init__(
+        self,
+        offsets_hz,
+        in_samplerate: float,
+        out_samplerate: float,
+        block_len: int,
+        low_pass_bw: float | None = None,
+    ):
+        self.mixer = MultiVfoMixer(
+            [-f for f in np.asarray(offsets_hz, np.float64)],
+            in_samplerate,
+            block_len,
+        )
+        self.resampler = RationalResampler(in_samplerate, out_samplerate)
+        assert block_len % self.resampler.block_multiple() == 0, (
+            f"block_len {block_len} not a multiple of "
+            f"{self.resampler.block_multiple()}"
+        )
+        if low_pass_bw is not None:
+            self.lpf = Fir(
+                tapsmod.low_pass(
+                    low_pass_bw / 2.0, low_pass_bw * 0.05, out_samplerate
+                ),
+                dtype=jnp.complex64,
+            )
+        else:
+            self.lpf = None
+        self.n_channels = self.mixer.n_channels
+
+    def init_state(self):
+        return {
+            "mixer": self.mixer.init_state(),
+            "resamp": self.resampler.init_state(),
+            "lpf": self.lpf.init_state() if self.lpf else (),
+        }
+
+    def out_len(self, n: int) -> int:
+        return self.resampler.out_len(n)
+
+    def __call__(self, state, x):
+        st = dict(state)
+        st["mixer"], y = self.mixer(state["mixer"], x)  # (C, n)
+        st["resamp"], y = self.resampler(state["resamp"], y)
+        if self.lpf:
+            st["lpf"], y = self.lpf(state["lpf"], y)
+        return st, y

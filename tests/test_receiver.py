@@ -1,0 +1,97 @@
+"""Receiver orchestration + CLI end-to-end on synthetic captures."""
+
+import numpy as np
+import pytest
+
+from sdrtpu.apps.receiver import BlockFramer, IQFrontend, Receiver, VfoConfig
+from sdrtpu.io import wav
+
+
+def make_nfm_capture(fs, f_offset, f_mod, n, dev=2500.0):
+    t = np.arange(n) / fs
+    msg = np.sin(2 * np.pi * f_mod * t)
+    phase = np.cumsum(2 * np.pi * dev * msg / fs)
+    return (0.5 * np.exp(1j * (2 * np.pi * f_offset * t + phase))).astype(
+        np.complex64
+    )
+
+
+def dominant_tone(x, fs):
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    spec[:5] = 0
+    return np.fft.rfftfreq(len(x), 1 / fs)[np.argmax(spec)]
+
+
+class TestBlockFramer:
+    def test_reassembles(self):
+        fr = BlockFramer(100)
+        outs = []
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal(1050).astype(np.complex64)
+        for i in range(0, 1050, 37):
+            outs.extend(list(fr.push(data[i : i + 37])))
+        got = np.concatenate(outs)
+        assert len(got) == 1000
+        np.testing.assert_array_equal(got, data[:1000])
+        assert fr.pending == 50
+
+
+class TestReceiver:
+    def test_nfm_vfo_demodulates(self):
+        fs = 400000.0
+        iq = make_nfm_capture(fs, 100000.0, 800.0, 1 << 18)
+        fe = IQFrontend(
+            fs,
+            {"v0": VfoConfig(100000.0, "nfm")},
+            spectrum=True,
+            fft_size=1024,
+            fft_rate=fs / 2048,
+        )
+        audio, specs = [], []
+        rx = Receiver(
+            fe,
+            block_len=fe.block_multiple(),
+            audio_sinks={"v0": audio.append},
+            spectrum_sink=specs.append,
+        )
+        rx.push(iq)
+        rx.flush()
+        assert audio, "no audio blocks emitted"
+        a = np.concatenate(audio, axis=-1)
+        assert a.shape[0] == 2
+        tone = dominant_tone(a[0][2000:], 48000.0)
+        assert abs(tone - 800.0) < 20.0
+        # spectrum should peak near +100 kHz
+        sp = np.concatenate(specs, axis=0).mean(axis=0)
+        freqs = np.fft.fftshift(np.fft.fftfreq(1024, 1 / fs))
+        assert abs(freqs[np.argmax(sp)] - 100000.0) < 2000.0
+
+
+class TestCli:
+    def test_cli_wfm_mono(self, tmp_path):
+        from sdrtpu.apps.cli import main
+
+        fs = 250000.0
+        n = 1 << 17
+        t = np.arange(n) / fs
+        msg = np.sin(2 * np.pi * 1200.0 * t)
+        iq = np.exp(1j * np.cumsum(2 * np.pi * 75000.0 * msg / fs)).astype(
+            np.complex64
+        )
+        in_path = str(tmp_path / "baseband_100000000Hz.wav")
+        out_path = str(tmp_path / "audio.wav")
+        wav.write_iq_wav(in_path, int(fs), iq, "float32")
+        rc = main(
+            [
+                "--input", in_path,
+                "--output", out_path,
+                "--mode", "wfm",
+                "--mono",
+                "--no-spectrum",
+            ]
+        )
+        assert rc == 0
+        info, audio = wav.read_wav(out_path)
+        assert info.samplerate == 48000 and info.channels == 2
+        tone = dominant_tone(audio[4000:, 0], 48000.0)
+        assert abs(tone - 1200.0) < 20.0

@@ -81,11 +81,23 @@ class TestPolyphase:
 
 class TestRationalResampler:
     def test_plan_250k_to_48k(self):
+        # Integer factor 5 first (250k -> 50k), then 50k -> 48k polyphase.
         op = RationalResampler(250000.0, 48000.0)
-        assert op.predecim is not None and op.predecim.ratio == 4
-        # 62500 -> 48000: gcd 500 -> interp 96, decim 125
-        assert op.interp == 96 and op.decim == 125
+        assert op.predecim is not None and op.predecim.ratio == 5
+        assert op.interp == 24 and op.decim == 25
         assert op.rate_error_pct < 0.01
+
+    def test_plan_2p4m_to_250k(self):
+        op = RationalResampler(2400000.0, 250000.0)
+        assert op.predecim is not None and op.predecim.ratio == 8
+        assert op.interp == 5 and op.decim == 6
+        assert op.rate_error_pct < 0.01
+
+    def test_plan_exact_integer(self):
+        # 10 Msps -> 250 ksps is the pure-integer case: no polyphase stage.
+        op = RationalResampler(10_000_000.0, 250000.0)
+        assert op.predecim is not None and op.predecim.ratio == 40
+        assert op.resamp is None
 
     def test_no_work_identity(self):
         op = RationalResampler(48000.0, 48000.0)

@@ -1,0 +1,87 @@
+"""Waterfall view math and CTCSS tone squelch tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sdrtpu.apps.waterfall import (
+    WaterfallView,
+    build_palette,
+    do_zoom,
+    vfo_signal_info,
+    _default_colormap,
+)
+from sdrtpu.kernels.ctcss import CTCSS_TONES, CtcssSquelch, TONE_ANY
+
+
+class TestDoZoom:
+    def test_identity_width(self):
+        line = np.arange(64, dtype=np.float32)
+        out = do_zoom(line, 0, 64, 64)
+        np.testing.assert_array_equal(out, line)
+
+    def test_max_decimation(self):
+        line = np.zeros(1024, np.float32)
+        line[100] = 50.0
+        out = do_zoom(line, 0, 1024, 128)
+        assert out.max() == 50.0  # peak survives decimation
+        assert np.argmax(out) == 100 // 8
+
+
+class TestSnr:
+    def test_tone_snr(self):
+        n = 4096
+        line = np.full(n, -100.0, np.float32)
+        # tone at +100 kHz in a 1 MHz span
+        idx = int(100e3 / 500e3 * (n // 2)) + n // 2
+        line[idx] = -30.0
+        strength, snr = vfo_signal_info(line, 100e3, 12500.0, 1e6)
+        assert abs(strength + 30.0) < 0.1
+        assert abs(snr - 70.0) < 0.5
+
+
+class TestWaterfallView:
+    def test_push_and_palette(self):
+        wf = WaterfallView(1024, height=16, view_width=256)
+        lines = np.random.default_rng(0).uniform(-80, -10, (4, 1024)).astype(
+            np.float32
+        )
+        wf.push(lines)
+        assert wf.fb.shape == (16, 256, 4)
+        assert wf.fb[0, :, 3].min() == 255  # opaque
+        np.testing.assert_array_equal(wf.latest_raw(), lines[-1])
+
+    def test_palette_resolution(self):
+        lut = build_palette(_default_colormap())
+        assert lut.shape == (1000, 4)
+        assert lut[0, 2] > lut[0, 0]  # dark blue start
+
+
+class TestCtcss:
+    def _make_audio(self, fs, tone_hz, n):
+        t = np.arange(n) / fs
+        voice = 0.3 * np.sin(2 * np.pi * 1000.0 * t)
+        tone = 0.15 * np.sin(2 * np.pi * tone_hz * t)
+        mono = (voice + tone).astype(np.float32)
+        return np.stack([mono, mono])
+
+    def test_detects_tone_and_opens(self):
+        fs = 48000.0
+        sq = CtcssSquelch(fs, required_tone=TONE_ANY)
+        n = 48000 * 2
+        audio = self._make_audio(fs, float(CTCSS_TONES[12]), n)  # 100 Hz
+        st = sq.init_state()
+        st, (out, tone) = sq(st, jnp.asarray(audio))
+        # after 2 s the tone should be identified and audio unmuted
+        assert int(tone) == 12, f"detected tone {int(tone)}"
+        assert not bool(st["mute"])
+
+    def test_mutes_without_tone(self):
+        fs = 48000.0
+        sq = CtcssSquelch(fs, required_tone=12)
+        n = 48000 * 2
+        rng = np.random.default_rng(0)
+        noise = (0.3 * rng.standard_normal((2, n))).astype(np.float32)
+        st = sq.init_state()
+        st, (out, tone) = sq(st, jnp.asarray(noise))
+        assert bool(st["mute"])
+        assert np.allclose(np.asarray(out), 0.0)
