@@ -7,8 +7,7 @@ implementations each:
 - **Exact scan** (`Pll`, `Costas`, `Agc`): `lax.scan` with the reference's
   per-sample update, bit-faithful to ``phase_control_loop.h:58-66`` /
   ``agc.h:70-110``.  Used for parity tests and low-rate paths.
-- **Block-parallel redesigns** (`NormalizedPilot`, `pilot_phase_fit`,
-  `BlockAgc`): feed-forward estimators with no sequential carry, the
+- **Block-parallel redesigns** (`NormalizedPilot`, `pilot_phase_fit`): feed-forward estimators with no sequential carry, the
   TPU-native path used in the streaming hot loops.  For the WFM stereo
   pilot, a per-block linear phase regression on the filtered 19 kHz pilot
   is equivalent to an extremely narrow PLL — *better* noise rejection than
@@ -199,33 +198,6 @@ class Agc(StreamOp):
 
         state, gains = jax.lax.scan(step, state, (in_amp, suffix_max))
         return state, x * gains.astype(x.real.dtype)
-
-
-class FastAgc(StreamOp):
-    """Simple multiplicative AGC (``loop/fast_agc.h`` capability).
-
-    Block-parallel: normalizes by a smoothed mean amplitude computed with a
-    one-pole whose per-block steady state is carried between blocks.  Used in
-    digital chains (PSK/meteor) where only rough level control is needed.
-    """
-
-    def __init__(self, set_point: float = 1.0, rate: float = 1e-3):
-        self.set_point = np.float32(set_point)
-        self.rate = float(rate)
-
-    def init_state(self):
-        return np.float32(1.0)
-
-    def __call__(self, state, x):
-        from .iir import first_order_recurrence
-
-        state = jnp.asarray(state)
-        amps = jnp.abs(x).astype(jnp.float32)
-        r = np.float32(self.rate)
-        avg = first_order_recurrence(np.float32(1.0) - r, r * amps, state)
-        prev = jnp.concatenate([state[None], avg[:-1]])
-        gain = self.set_point / jnp.maximum(prev, 1e-12)
-        return avg[-1], x * gain.astype(x.real.dtype)
 
 
 class NormalizedPilot(StreamOp):

@@ -6,12 +6,12 @@ import jax.numpy as jnp
 from sdrtpu.kernels.loops import (
     Agc,
     Costas,
-    FastAgc,
     NormalizedPilot,
     Pll,
     critically_damped,
     pilot_phase_fit,
 )
+from sdrtpu.kernels.psk import FastAgc
 
 RNG = np.random.default_rng(11)
 
@@ -103,12 +103,26 @@ class TestAgc:
 
 
 class TestFastAgc:
-    def test_normalizes(self):
-        x = (0.05 * RNG.standard_normal(32768)).astype(np.float32)
-        agc = FastAgc(1.0, 1e-3)
+    def test_matches_reference_loop(self):
+        # exact parity vs the sequential fast_agc.h recurrence
+        x = (0.2 * RNG.standard_normal(2000) + 0.05).astype(np.float32)
+        sp, mg, rate = 1.0, 10e6, 0.1
+        gain = 1.0
+        ref = np.empty_like(x)
+        for i, v in enumerate(x):
+            ref[i] = v * gain
+            gain += (sp - abs(ref[i])) * rate
+            gain = min(gain, mg)
+        agc = FastAgc(sp, mg, rate)
         st, y = agc(agc.init_state(), jnp.asarray(x))
-        tail = np.asarray(y)[-4000:]
-        assert 0.7 < np.mean(np.abs(tail)) / np.mean(np.abs(x[-4000:]) / np.mean(np.abs(x))) < 1.3
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+    def test_levels_tone(self):
+        n = np.arange(32768)
+        x = (0.05 * np.exp(2j * np.pi * 0.01 * n)).astype(np.complex64)
+        agc = FastAgc(1.0, 10e6, 0.1)
+        st, y = agc(agc.init_state(), jnp.asarray(x))
+        assert abs(np.mean(np.abs(np.asarray(y)[-2000:])) - 1.0) < 0.05
 
 
 class TestPilotEstimators:
