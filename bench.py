@@ -89,18 +89,20 @@ def main():
     assert np.std(a0) > 1e-4, "no audio produced"
 
     # Sustained: chain N dispatches through the state dependency and time
-    # the whole sequence (single sync at the end).
+    # the whole sequence.  A host fetch of an on-device reduction forces
+    # real completion (block_until_ready alone can return early on this
+    # backend's async runtime).
     best = 0.0
     for _ in range(3):
         n_disp = 8
         t0 = time.time()
         for _ in range(n_disp):
             rstate, audio = multi(rstate, re, im)
-        jax.block_until_ready(audio)
+        probe = float(jnp.sum(audio))
         dt = time.time() - t0
         sps = n_disp * K * block_len / dt
         best = max(best, sps)
-        log(f"  pass: {dt*1000:.1f} ms for {n_disp} dispatches -> {sps/1e6:.1f} Msps")
+        log(f"  pass: {dt*1000:.1f} ms for {n_disp} dispatches -> {sps/1e6:.1f} Msps (probe {probe:.3g})")
 
     msps = best / 1e6
     print(

@@ -50,14 +50,36 @@ def correlate_valid(x: jax.Array, taps, stride: int = 1) -> jax.Array:
         x = x.astype(jnp.complex64)
     L = x.shape[-1]
     T = int(taps.shape[0])
-    span = L - T + 1  # valid window count before striding
+    tap_vals = [
+        complex(t) if np.iscomplexobj(taps) else float(t) for t in taps
+    ]
+    if stride == 1:
+        acc = None
+        span = L - T + 1
+        for t in range(T):
+            seg = jax.lax.dynamic_slice_in_dim(x, t, span, axis=-1)
+            term = tap_vals[t] * seg
+            acc = term if acc is None else acc + term
+        return acc
+
+    # Strided case: lane-strided slices (seg[::M]) are pathological on TPU.
+    # Decompose into the polyphase layout instead: reshape to rows of M and
+    # transpose once, after which every tap is a *unit-stride* slice:
+    #   y[k] = sum_t x[k*M + t]*h[t];  t = q*M + r  =>  x[kM+t] = xt[r, k+q]
+    M = stride
+    A = (L - T) // M + 1  # output count
+    q_max = (T - 1) // M
+    rows = max(-(-L // M), A + q_max)
+    xp = jnp.pad(
+        x, [(0, 0)] * (x.ndim - 1) + [(0, rows * M - L)]
+    )
+    xt = xp.reshape(x.shape[:-1] + (rows, M))
+    xt = jnp.swapaxes(xt, -1, -2)  # (..., M, rows)
     acc = None
     for t in range(T):
-        seg = jax.lax.dynamic_slice_in_dim(x, t, span, axis=-1)
-        if stride > 1:
-            seg = seg[..., ::stride]
-        h = complex(taps[t]) if np.iscomplexobj(taps) else float(taps[t])
-        term = h * seg
+        q, r = divmod(t, M)
+        seg = jax.lax.dynamic_slice_in_dim(xt[..., r, :], q, A, axis=-1)
+        term = tap_vals[t] * seg
         acc = term if acc is None else acc + term
     return acc
 

@@ -190,7 +190,19 @@ class PolyphaseResampler(StreamOp):
         )
         if self.method == "unrolled":
             A = n_out // L
-            span = (A - 1) * M + 1
+            # Shared polyphase layout: x[a*M + s] = xt[s % M, a + s // M]
+            # with one reshape+transpose; every tap is a unit-stride slice
+            # (lane-strided slices are pathological on TPU).
+            ext_len = ext.shape[-1]
+            max_start = (M - 1) + (tpp - 1)  # max off_b + t
+            q_max = max_start // M
+            rows = max(-(-ext_len // M), A + q_max)
+            xp = jnp.pad(
+                ext, [(0, 0)] * (ext.ndim - 1) + [(0, rows * M - ext_len)]
+            )
+            xt = jnp.swapaxes(
+                xp.reshape(ext.shape[:-1] + (rows, M)), -1, -2
+            )  # (..., M, rows)
             cols = []
             for b in range(L):
                 p_b = (b * M) % L
@@ -200,9 +212,10 @@ class PolyphaseResampler(StreamOp):
                     h = float(self.bank[p_b, t])
                     if h == 0.0:
                         continue
-                    seg = jax.lax.dynamic_slice_in_dim(ext, off_b + t, span, axis=-1)
-                    if M > 1:
-                        seg = seg[..., ::M]
+                    q, r = divmod(off_b + t, M)
+                    seg = jax.lax.dynamic_slice_in_dim(
+                        xt[..., r, :], q, A, axis=-1
+                    )
                     term = h * seg
                     acc = term if acc is None else acc + term
                 if acc is None:

@@ -1,0 +1,117 @@
+"""Scanner / recorder / frequency manager / rigctl server tests."""
+
+import socket
+import time
+
+import numpy as np
+
+from sdrtpu.apps.frequency_manager import Bookmark, FrequencyManager
+from sdrtpu.apps.recorder import Recorder, expand_template
+from sdrtpu.apps.rigctl_server import RigctlServer
+from sdrtpu.apps.scanner import Scanner
+from sdrtpu.io import wav
+
+
+class TestScanner:
+    def _spectrum(self, n, wf_bw, signal_freqs, wf_center=0.0, level=-30.0):
+        line = np.full(n, -80.0, np.float32)
+        for f in signal_freqs:
+            idx = int((f - (wf_center - wf_bw / 2)) / wf_bw * n)
+            if 0 <= idx < n:
+                line[max(0, idx - 2) : idx + 3] = level
+        return line
+
+    def test_finds_and_dwells(self):
+        tunes = []
+        sc = Scanner(
+            -400e3, 400e3, interval=50e3, vfo_bandwidth=20e3,
+            level_db=-50.0, linger_time=0.3, tuning_time=0.0,
+            tune_callback=tunes.append,
+        )
+        wf_bw = 1e6
+        # signal lives at +200 kHz
+        line = self._spectrum(4096, wf_bw, [200e3])
+        for _ in range(30):
+            sc.push_spectrum(line, 0.0, wf_bw, dt=0.1)
+            if sc.receiving:
+                break
+        assert sc.receiving
+        assert abs(sc.current - 200e3) < 25e3
+        # signal disappears -> scanner resumes after linger
+        quiet = self._spectrum(4096, wf_bw, [])
+        for _ in range(10):
+            sc.push_spectrum(quiet, 0.0, wf_bw, dt=0.2)
+        assert not sc.receiving
+
+
+class TestRecorder:
+    def test_template(self):
+        import datetime
+
+        now = datetime.datetime(2026, 8, 17, 12, 34, 56)
+        out = expand_template("rec_$FREQ_$YEAR-$MONTH-$DAY.wav", 98.5e6, now)
+        assert out == "rec_98500000Hz_2026-08-17.wav"
+
+    def test_audio_recording(self, tmp_path):
+        path = str(tmp_path / "a.wav")
+        rec = Recorder(path, 48000, mode="audio")
+        t = np.arange(4800) / 48000
+        block = np.stack([np.sin(2 * np.pi * 440 * t)] * 2).astype(np.float32)
+        rec.push(block)
+        rec.push(block)
+        rec.close()
+        info, audio = wav.read_wav(path)
+        assert info.frames == 9600 and info.channels == 2
+        assert rec.peak > 0.9
+
+    def test_silence_skip(self, tmp_path):
+        path = str(tmp_path / "b.wav")
+        rec = Recorder(path, 48000, ignore_silence=True, silence_threshold=0.01)
+        rec.push(np.zeros((2, 4800), np.float32))
+        rec.push(np.full((2, 4800), 0.5, np.float32))
+        rec.close()
+        info, _ = wav.read_wav(path)
+        assert info.frames == 4800  # silence dropped
+
+
+class TestFrequencyManager:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "fm.json")
+        fm = FrequencyManager(path)
+        fm.add("Ham", "repeater", Bookmark(145.6e6, 12500.0, "nfm"))
+        fm.add("BC", "radio1", Bookmark(98.5e6, 200e3, "wfm"))
+        fm.save()
+        fm2 = FrequencyManager(path)
+        bm = fm2.get("Ham", "repeater")
+        assert bm and bm.frequency == 145.6e6 and bm.mode == "nfm"
+        tuned = []
+        fm2.apply("BC", "radio1", lambda f, m, b: tuned.append((f, m, b)))
+        assert tuned == [(98.5e6, "wfm", 200e3)]
+
+
+class TestRigctl:
+    def test_freq_commands(self):
+        state = {"freq": 100e6, "rec": False}
+        srv = RigctlServer(
+            "127.0.0.1", 0,
+            get_freq=lambda: state["freq"],
+            set_freq=lambda f: state.update(freq=f),
+            start_recorder=lambda: state.update(rec=True),
+            stop_recorder=lambda: state.update(rec=False),
+        )
+        s = socket.create_connection(("127.0.0.1", srv.port))
+        s.sendall(b"F 145600000\n")
+        assert s.recv(64) == b"RPRT 0\n"
+        assert state["freq"] == 145600000.0
+        s.sendall(b"f\n")
+        assert s.recv(64) == b"145600000\n"
+        s.sendall(b"AOS\n")
+        s.recv(64)
+        assert state["rec"]
+        s.sendall(b"LOS\n")
+        s.recv(64)
+        assert not state["rec"]
+        s.sendall(b"q\n")
+        time.sleep(0.1)
+        s.close()
+        srv.close()
