@@ -4,7 +4,7 @@ module (``decoder_modules/radio/src/radio_module.h``).
 Structure (``radio_module.h:85-110``):
 
     VFO IQ @ IF rate
-      -> IF chain: [NoiseBlanker] [PowerSquelch] [FM-IF NR]   (all opt-in)
+      -> IF chain: [NoiseBlanker] [PowerSquelch] [FmIfNoiseReduction]
       -> Demodulator (per mode)
       -> AF chain: [CTCSS] Resampler(IF->audio) [HPF 300 Hz] [Deemphasis]
       -> audio @ audio_rate
@@ -34,6 +34,7 @@ from ..kernels.analog import Am, Cw, Fm, Ssb
 from ..kernels.fir import Fir
 from ..kernels.iir import Deemphasis
 from ..kernels.resample import RationalResampler
+from ..kernels.fmnr import FmIfNoiseReduction
 from ..kernels.squelch import NoiseBlanker, PowerSquelch
 from ..kernels.wfm import BroadcastFm
 
@@ -63,6 +64,7 @@ class RadioChain(StreamOp):
         squelch_db: float | None = None,
         noise_blanker: bool = False,
         high_pass: bool = False,
+        fm_if_nr: bool = False,
         deemphasis: float | None = "default",
         stereo: bool = True,
         rds: bool = False,
@@ -76,6 +78,7 @@ class RadioChain(StreamOp):
 
         self.nb = NoiseBlanker() if noise_blanker else None
         self.squelch = PowerSquelch(squelch_db) if squelch_db is not None else None
+        self.fmnr = FmIfNoiseReduction(32) if fm_if_nr else None
 
         if mode == "wfm":
             self.demod = BroadcastFm(
@@ -113,6 +116,7 @@ class RadioChain(StreamOp):
         return {
             "nb": self.nb.init_state() if self.nb else (),
             "sq": self.squelch.init_state() if self.squelch else (),
+            "fmnr": self.fmnr.init_state() if self.fmnr else (),
             "demod": self.demod.init_state(),
             "resamp": self.resamp.init_state(),
             "hpf": self.hpf.init_state() if self.hpf else (),
@@ -128,6 +132,8 @@ class RadioChain(StreamOp):
             st["nb"], x = self.nb(state["nb"], x)
         if self.squelch:
             st["sq"], x = self.squelch(state["sq"], x)
+        if self.fmnr:
+            st["fmnr"], x = self.fmnr(state["fmnr"], x)
 
         if self.mode == "wfm":
             st["demod"], (audio, _rds) = self.demod(state["demod"], x)  # (2, n)

@@ -1,0 +1,105 @@
+"""Native C++ IO library: build, correctness vs NumPy, throughput sanity."""
+
+import time
+
+import numpy as np
+import pytest
+
+from sdrtpu import native
+
+RNG = np.random.default_rng(88)
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+class TestConvert:
+    def test_i16_matches_numpy(self, lib):
+        raw = RNG.integers(-32768, 32768, 2048, dtype=np.int16)
+        re, im = native.convert_to_planar(raw.tobytes(), "i16")
+        ref = raw.astype(np.float32) / 32768.0
+        np.testing.assert_allclose(re, ref[0::2], atol=0)
+        np.testing.assert_allclose(im, ref[1::2], atol=0)
+
+    def test_u8(self, lib):
+        raw = RNG.integers(0, 256, 1000, dtype=np.uint8)
+        re, im = native.convert_to_planar(raw.tobytes(), "u8")
+        ref = (raw.astype(np.float32) - 128.0) / 128.0
+        np.testing.assert_allclose(re, ref[0::2])
+
+    def test_roundtrip_i16(self, lib):
+        re = RNG.uniform(-0.9, 0.9, 1024).astype(np.float32)
+        im = RNG.uniform(-0.9, 0.9, 1024).astype(np.float32)
+        wire = native.convert_from_planar(re, im, "i16")
+        re2, im2 = native.convert_to_planar(wire.tobytes(), "i16")
+        np.testing.assert_allclose(re2, re, atol=1.0 / 32768.0)
+        np.testing.assert_allclose(im2, im, atol=1.0 / 32768.0)
+
+    def test_f32_passthrough(self, lib):
+        re = RNG.standard_normal(256).astype(np.float32)
+        im = RNG.standard_normal(256).astype(np.float32)
+        wire = native.convert_from_planar(re, im, "f32")
+        re2, im2 = native.convert_to_planar(wire.tobytes(), "f32")
+        np.testing.assert_array_equal(re2, re)
+        np.testing.assert_array_equal(im2, im)
+
+    def test_throughput(self, lib):
+        # should beat 1 GB/s easily; just assert it's not pathological
+        raw = RNG.integers(-32768, 32768, 2_000_000, dtype=np.int16).tobytes()
+        t0 = time.time()
+        for _ in range(10):
+            native.convert_to_planar(raw, "i16")
+        dt = time.time() - t0
+        rate = 10 * len(raw) / dt / 1e9
+        assert rate > 0.5, f"conversion rate {rate:.2f} GB/s"
+
+
+class TestRing:
+    def test_write_read(self, lib):
+        ring = native.SpscRing(1 << 16)
+        data = bytes(RNG.integers(0, 256, 5000, dtype=np.uint8))
+        assert ring.write(data) == 5000
+        assert ring.readable == 5000
+        assert ring.read(5000) == data
+        assert ring.readable == 0
+        ring.close()
+
+    def test_wraparound(self, lib):
+        ring = native.SpscRing(1024)
+        for _ in range(50):  # force wrap many times
+            data = bytes(RNG.integers(0, 256, 700, dtype=np.uint8))
+            assert ring.write(data) == 700
+            assert ring.read(700) == data
+        ring.close()
+
+    def test_backpressure(self, lib):
+        ring = native.SpscRing(1024)
+        big = bytes(2048)
+        wrote = ring.write(big)
+        assert wrote == 1024  # capacity limit
+        ring.close()
+
+    def test_threaded_stream(self, lib):
+        import threading
+
+        ring = native.SpscRing(1 << 20)
+        src = bytes(RNG.integers(0, 256, 1 << 22, dtype=np.uint8))
+        got = bytearray()
+
+        def producer():
+            off = 0
+            while off < len(src):
+                off += ring.write(src[off : off + 4096])
+
+        t = threading.Thread(target=producer)
+        t.start()
+        while len(got) < len(src):
+            got += ring.read(8192)
+        t.join()
+        assert bytes(got) == src
+        ring.close()
