@@ -1,0 +1,69 @@
+"""Extended Golay (24,12) codec — M17 link-setup frame FEC.
+
+Capability parity with the golay24 used by ``decoder_modules/m17_decoder``.
+Systematic encoding with the standard generator polynomial 0xAE3 (plus an
+overall parity bit); decoding corrects up to 3 bit errors via syndrome
+lookup over all <=3-error patterns (precomputed once).
+Host NumPy — frames are 24 bits at voice-frame rates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_POLY = 0xAE3  # x^11 + x^10 + x^6 + x^5 + x^4 + x^2 + x + 1 (Golay generator)
+
+
+def _golay_checkbits(data: int) -> int:
+    """11 check bits for 12 data bits (polynomial division)."""
+    reg = data << 11
+    for i in range(22, 10, -1):
+        if reg & (1 << i):
+            reg ^= _POLY << (i - 11)
+    return reg & 0x7FF
+
+
+def encode24(data: int) -> int:
+    """12-bit data -> 24-bit extended Golay codeword (data|check|parity)."""
+    data &= 0xFFF
+    check = _golay_checkbits(data)
+    cw23 = (data << 11) | check
+    parity = bin(cw23).count("1") & 1
+    return (cw23 << 1) | parity
+
+
+class Golay24:
+    def __init__(self):
+        # syndrome -> error pattern (23-bit part), <=3 errors
+        self._table: dict[int, int] = {0: 0}
+        patterns = [1 << i for i in range(23)]
+        for i in range(23):
+            for j in range(i + 1, 23):
+                patterns.append((1 << i) | (1 << j))
+        for i in range(23):
+            for j in range(i + 1, 23):
+                for k in range(j + 1, 23):
+                    patterns.append((1 << i) | (1 << j) | (1 << k))
+        for p in patterns:
+            syn = self._syndrome(p)
+            if syn not in self._table:
+                self._table[syn] = p
+
+    @staticmethod
+    def _syndrome(cw23: int) -> int:
+        reg = cw23
+        for i in range(22, 10, -1):
+            if reg & (1 << i):
+                reg ^= _POLY << (i - 11)
+        return reg & 0x7FF
+
+    def decode24(self, cw: int) -> tuple[int | None, int]:
+        """24-bit word -> (12-bit data or None, bit errors corrected)."""
+        cw23 = (cw >> 1) & 0x7FFFFF
+        syn = self._syndrome(cw23)
+        err = self._table.get(syn)
+        if err is None:
+            return None, -1
+        corrected = cw23 ^ err
+        n_err = bin(err).count("1")
+        return (corrected >> 11) & 0xFFF, n_err

@@ -1,0 +1,107 @@
+"""Transmit-side modulators (``core/src/dsp/mod/*.h``, used by ryfi/M17).
+
+- `QuadratureMod` — FM modulator: ``phase += dev*x; out = e^{j phase}``
+  (``mod/quadrature.h:38-44``).  The phase accumulator is a plain cumsum —
+  an associative scan — so the whole block is parallel.
+- `RrcInterpolator` — symbol upsampling with root-raised-cosine pulse
+  shaping (``multirate/rrc_interpolator.h``): an interp-by-L polyphase
+  with an RRC prototype.
+- `PskMod` — symbols -> RRC-shaped complex baseband (``mod/psk.h``).
+- `GfskMod` — bits(+/-1) -> RRC-shaped freq pulse -> FM (``mod/gfsk.h``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.block import StreamOp
+from . import taps as tapsmod
+from .resample import PolyphaseResampler
+
+
+class QuadratureMod(StreamOp):
+    """FM modulator: real input -> constant-envelope complex baseband."""
+
+    def __init__(self, deviation_hz: float, samplerate: float):
+        self.dev = np.float32(tapsmod.hz_to_rads(deviation_hz, samplerate))
+
+    def init_state(self):
+        return np.float32(0.0)
+
+    def __call__(self, state, x):
+        phase = jnp.asarray(state) + jnp.cumsum(self.dev * x, axis=-1)
+        # wrap only the carried scalar; e^{j phase} is periodic anyway, but
+        # keep the carry small for float32 health
+        new_state = jnp.mod(phase[..., -1] + np.pi, 2 * np.pi) - np.pi
+        return new_state, jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+
+class RrcInterpolator(StreamOp):
+    """Interpolate symbols by an integer factor with RRC shaping."""
+
+    def __init__(
+        self,
+        sps: int,
+        rrc_tap_count: int = 33,
+        rrc_beta: float = 0.35,
+        dtype=jnp.complex64,
+    ):
+        self.sps = int(sps)
+        proto = tapsmod.root_raised_cosine(rrc_tap_count, rrc_beta, float(sps))
+        self.poly = PolyphaseResampler(
+            self.sps, 1, proto * np.float32(self.sps), dtype=dtype
+        )
+
+    def init_state(self):
+        return self.poly.init_state()
+
+    def out_len(self, n: int) -> int:
+        return n * self.sps
+
+    def __call__(self, state, syms):
+        return self.poly(state, syms)
+
+
+class PskMod(StreamOp):
+    """Complex symbols -> RRC-shaped baseband at ``sps`` samples/symbol."""
+
+    def __init__(self, sps: int, rrc_tap_count: int = 33, rrc_beta: float = 0.35):
+        self.interp = RrcInterpolator(sps, rrc_tap_count, rrc_beta, jnp.complex64)
+
+    def init_state(self):
+        return self.interp.init_state()
+
+    def out_len(self, n):
+        return self.interp.out_len(n)
+
+    def __call__(self, state, syms):
+        return self.interp(state, syms.astype(jnp.complex64))
+
+
+class GfskMod(StreamOp):
+    """+/-1 bit pulses -> RRC-shaped frequency pulse -> FM baseband."""
+
+    def __init__(
+        self,
+        sps: int,
+        deviation_hz: float,
+        samplerate: float,
+        rrc_tap_count: int = 33,
+        rrc_beta: float = 0.35,
+    ):
+        self.interp = RrcInterpolator(sps, rrc_tap_count, rrc_beta, jnp.float32)
+        self.mod = QuadratureMod(deviation_hz, samplerate)
+
+    def init_state(self):
+        return {"interp": self.interp.init_state(), "mod": self.mod.init_state()}
+
+    def out_len(self, n):
+        return self.interp.out_len(n)
+
+    def __call__(self, state, bits):
+        st = dict(state)
+        st["interp"], pulse = self.interp(state["interp"], bits.astype(jnp.float32))
+        st["mod"], y = self.mod(state["mod"], pulse)
+        return st, y

@@ -223,3 +223,51 @@ class MeteorDemod(StreamOp):
             y = jax.lax.complex(y.real, im_prev)
         st["mm"], (syms, valid) = self.recov(state["mm"], y)
         return st, (syms, valid)
+
+
+class Gfsk(StreamOp):
+    """GFSK receive chain (``core/src/dsp/demod/gfsk.h``):
+
+    quadrature discriminator -> RRC matched filter -> M&M (float mode).
+    Output: masked real symbols (one per baud).
+    """
+
+    def __init__(
+        self,
+        symbolrate: float,
+        samplerate: float,
+        deviation_hz: float,
+        rrc_tap_count: int = 33,
+        rrc_beta: float = 0.35,
+        omega_gain: float = 1e-6,
+        mu_gain: float = 0.01,
+        omega_rel_limit: float = 0.01,
+    ):
+        from .demod import Quadrature
+
+        self.quad = Quadrature(deviation_hz, samplerate)
+        rrc_taps = tapsmod.root_raised_cosine_rate(
+            rrc_tap_count, rrc_beta, symbolrate, samplerate
+        )
+        self.rrc = Fir(rrc_taps, dtype=jnp.float32)
+        self.recov = MuellerMuller(
+            samplerate / symbolrate, omega_gain, mu_gain, omega_rel_limit,
+            complex_mode=False,
+        )
+
+    def max_out(self, n: int) -> int:
+        return self.recov.max_out(n)
+
+    def init_state(self):
+        return {
+            "quad": self.quad.init_state(),
+            "rrc": self.rrc.init_state(),
+            "mm": self.recov.init_state(),
+        }
+
+    def __call__(self, state, x):
+        st = dict(state)
+        st["quad"], y = self.quad(state["quad"], x)
+        st["rrc"], y = self.rrc(state["rrc"], y)
+        st["mm"], (syms, valid) = self.recov(state["mm"], y)
+        return st, (syms, valid)
