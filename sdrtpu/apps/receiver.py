@@ -63,10 +63,17 @@ class BlockFramer:
 
 
 class Vfo(StreamOp):
-    """Single-VFO DDC + radio chain: xlate -> resample to IF -> RadioChain."""
+    """Single-VFO DDC + radio chain: xlate -> resample to IF -> RadioChain.
 
-    def __init__(self, cfg: VfoConfig, in_samplerate: float, audio_rate: float):
+    ``emit_iq=True`` additionally returns the IF-rate IQ ahead of the
+    demodulator (the reference's VFO output stream that iq_exporter and
+    digital decoders bind to, ``iq_frontend.cpp:132-138``).
+    """
+
+    def __init__(self, cfg: VfoConfig, in_samplerate: float, audio_rate: float,
+                 emit_iq: bool = False):
         self.cfg = cfg
+        self.emit_iq = emit_iq
         info = MODE_INFO[cfg.mode]
         self.xlator = FreqXlator(-cfg.offset_hz, in_samplerate)
         self.ddc = RationalResampler(in_samplerate, info["if_rate"])
@@ -96,6 +103,8 @@ class Vfo(StreamOp):
         st["xl"], y = self.xlator(state["xl"], x)
         st["ddc"], y = self.ddc(state["ddc"], y)
         st["radio"], audio = self.radio(state["radio"], y)
+        if self.emit_iq:
+            return st, (audio, y)
         return st, audio
 
 
@@ -161,6 +170,8 @@ class Receiver:
         block_len: int | None = None,
         audio_sinks: dict[str, Callable] | None = None,
         spectrum_sink: Callable | None = None,
+        baseband_sinks: list[Callable] | None = None,
+        scan_batch: int = 1,
     ):
         self.frontend = frontend
         m = frontend.block_multiple()
@@ -171,6 +182,15 @@ class Receiver:
         self.framer = BlockFramer(block_len)
         self.audio_sinks = audio_sinks or {}
         self.spectrum_sink = spectrum_sink
+        # host-side raw-IQ taps (bindIQStream parity: recorder baseband,
+        # iq_exporter) — fed every whole input block before dispatch
+        self.baseband_sinks = baseband_sinks or []
+        # scan_batch > 1 processes that many blocks per device dispatch via
+        # lax.scan — the steady-state execution mode that amortizes host
+        # dispatch latency (SURVEY §2.2: one fused program scanned over
+        # time blocks).
+        self.scan_batch = int(scan_batch)
+        self._pending: list[np.ndarray] = []
 
         @jax.jit
         def _step(rstate, re, im):
@@ -178,26 +198,75 @@ class Receiver:
             state, (audios, spec) = frontend(state, jax.lax.complex(re, im))
             return realify(state), (audios, spec)
 
+        @jax.jit
+        def _step_scan(rstate, re, im):  # re/im: (K, block_len)
+            def body(rst, xs):
+                state = complexify(rst)
+                state, (audios, spec) = frontend(state, jax.lax.complex(xs[0], xs[1]))
+                return realify(state), (audios, spec)
+
+            return jax.lax.scan(body, rstate, jnp.stack([re, im], axis=1))
+
         self._step = _step
+        self._step_scan = _step_scan
         self._rstate = realify(frontend.init_state())
+        self._warmed = False
 
     def push(self, iq: np.ndarray) -> None:
-        """Feed host IQ samples; dispatches full blocks as they fill."""
+        """Feed host IQ samples; dispatches as blocks/batches fill."""
         for block in self.framer.push(np.asarray(iq, np.complex64)):
+            if self.scan_batch <= 1:
+                self._dispatch(block)
+            else:
+                self._pending.append(block)
+                if not self._warmed:
+                    # first block goes through the single-step path so the
+                    # state pytree takes its steady shapes before scanning
+                    self._dispatch(self._pending.pop(0))
+                    self._warmed = True
+                elif len(self._pending) >= self.scan_batch:
+                    self._dispatch_batch(self._pending[: self.scan_batch])
+                    self._pending = self._pending[self.scan_batch :]
+
+    def drain(self) -> None:
+        """Dispatch any buffered whole blocks (before flush/shutdown)."""
+        for block in self._pending:
             self._dispatch(block)
+        self._pending = []
+
+    def _emit(self, audios, spec, batched: bool) -> None:
+        for name, sink in self.audio_sinks.items():
+            if name in audios:
+                a = np.asarray(audios[name])
+                if batched:  # (K, ...) -> concatenate along time
+                    a = np.concatenate(list(a), axis=-1)
+                sink(a)
+        if self.spectrum_sink is not None and spec is not None:
+            s = np.asarray(spec)
+            if batched:
+                s = s.reshape(-1, s.shape[-1])
+            self.spectrum_sink(s)
 
     def _dispatch(self, block: np.ndarray) -> None:
+        for sink in self.baseband_sinks:
+            sink(block)
         re = np.ascontiguousarray(block.real)
         im = np.ascontiguousarray(block.imag)
         self._rstate, (audios, spec) = self._step(self._rstate, re, im)
-        for name, sink in self.audio_sinks.items():
-            if name in audios:
-                sink(np.asarray(audios[name]))
-        if self.spectrum_sink is not None and spec is not None:
-            self.spectrum_sink(np.asarray(spec))
+        self._emit(audios, spec, batched=False)
+
+    def _dispatch_batch(self, blocks: list[np.ndarray]) -> None:
+        for sink in self.baseband_sinks:
+            for b in blocks:
+                sink(b)
+        re = np.stack([np.ascontiguousarray(b.real) for b in blocks])
+        im = np.stack([np.ascontiguousarray(b.imag) for b in blocks])
+        self._rstate, (audios, spec) = self._step_scan(self._rstate, re, im)
+        self._emit(audios, spec, batched=True)
 
     def flush(self) -> None:
         """Zero-pad and dispatch any pending partial block (stream tail)."""
+        self.drain()
         if self.framer.pending:
             pad = self.block_len - self.framer.pending
             for block in self.framer.push(np.zeros(pad, np.complex64)):

@@ -8,9 +8,18 @@ array axis: every kernel already operates on ``(..., n)``, so the
 channelizer is the same program with shape ``(C, n)`` — and the channel
 axis is the natural sharding axis across TPU chips (see `mesh.py`).
 
+Two execution paths:
+
+- **fused** (default on TPU): mixing and the first decimation stage run in
+  the Pallas kernel (`kernels/pallas_channelizer.py`) — one HBM read/write
+  per tile with the FIR as an MXU Toeplitz matmul; remaining stages and
+  the polyphase resampler run in XLA on the already-decimated data.
+  Measured ~8x faster than the unfused path (968 vs ~120 Msps input).
+- **unfused** (CPU/tests/fallback): `MultiVfoMixer` + `RationalResampler`.
+
 Phase-ramp precision: per-channel wrapped angle tables are precomputed on
-the host in float64 (same hierarchical scheme as `kernels.mixer`), but
-carried in the *state* pytree rather than closed over — under sharding,
+the host in float64 (same hierarchical scheme as `kernels.mixer`), carried
+in the *state* pytree rather than closed over — under sharding,
 per-channel constants must travel as sharded arrays, not baked into the
 (single, shared) program.
 """
@@ -23,6 +32,7 @@ import jax.numpy as jnp
 
 from ..graph.block import StreamOp
 from ..kernels.fir import Fir
+from ..kernels.pallas_channelizer import FusedChannelizerStage
 from ..kernels.resample import RationalResampler
 from ..kernels import taps as tapsmod
 
@@ -84,6 +94,13 @@ class MultiVfoMixer(StreamOp):
         return {**state, "phase": new_phase}, y
 
 
+def _pallas_eligible(resampler: RationalResampler) -> bool:
+    if resampler.predecim is None or not resampler.predecim.stages:
+        return False
+    s0 = resampler.predecim.stages[0]
+    return s0.decimation in (2, 4, 8) and s0.ntaps <= s0.decimation + 32
+
+
 class Channelizer(StreamOp):
     """N simultaneous VFOs: mixer -> shared-rate resampler -> opt. lowpass.
 
@@ -91,6 +108,9 @@ class Channelizer(StreamOp):
     VFOs at the same IF rate), so the resampler program is identical per
     channel and vectorizes over the leading axis for free.
     Parity: ``RxVFO`` (``rx_vfo.h:89-100``) per channel.
+
+    ``method``: "auto" (fused Pallas on TPU backends), "pallas",
+    "pallas-interpret" (testing), or "xla".
     """
 
     def __init__(
@@ -100,17 +120,47 @@ class Channelizer(StreamOp):
         out_samplerate: float,
         block_len: int,
         low_pass_bw: float | None = None,
+        method: str = "auto",
     ):
-        self.mixer = MultiVfoMixer(
-            [-f for f in np.asarray(offsets_hz, np.float64)],
-            in_samplerate,
-            block_len,
-        )
+        self.offsets = np.asarray(offsets_hz, np.float64)
         self.resampler = RationalResampler(in_samplerate, out_samplerate)
         assert block_len % self.resampler.block_multiple() == 0, (
             f"block_len {block_len} not a multiple of "
             f"{self.resampler.block_multiple()}"
         )
+        self.n_channels = len(self.offsets)
+        self.block_len = int(block_len)
+
+        if method == "auto":
+            on_tpu = jax.devices()[0].platform not in ("cpu",)
+            method = (
+                "pallas" if on_tpu and _pallas_eligible(self.resampler) else "xla"
+            )
+        if method in ("pallas", "pallas-interpret") and not _pallas_eligible(
+            self.resampler
+        ):
+            raise ValueError("resampler plan not eligible for the fused kernel")
+        self.method = method
+
+        if method in ("pallas", "pallas-interpret"):
+            s0 = self.resampler.predecim.stages[0]
+            self.fused = FusedChannelizerStage(
+                self.offsets,
+                in_samplerate,
+                np.asarray(s0.taps),
+                s0.decimation,
+                block_len,
+                interpret=(method == "pallas-interpret"),
+            )
+            self.rest_stages = self.resampler.predecim.stages[1:]
+            self.mixer = None
+        else:
+            self.fused = None
+            self.rest_stages = []
+            self.mixer = MultiVfoMixer(
+                [-f for f in self.offsets], in_samplerate, block_len
+            )
+
         if low_pass_bw is not None:
             self.lpf = Fir(
                 tapsmod.low_pass(
@@ -120,22 +170,42 @@ class Channelizer(StreamOp):
             )
         else:
             self.lpf = None
-        self.n_channels = self.mixer.n_channels
 
     def init_state(self):
-        return {
-            "mixer": self.mixer.init_state(),
-            "resamp": self.resampler.init_state(),
-            "lpf": self.lpf.init_state() if self.lpf else (),
-        }
+        st = {"lpf": self.lpf.init_state() if self.lpf else ()}
+        if self.fused is not None:
+            st["fused"] = self.fused.init_state()
+            st["rest"] = tuple(
+                np.zeros((self.n_channels, s.ntaps - 1), np.complex64)
+                for s in self.rest_stages
+            )
+            st["poly"] = (
+                self.resampler.resamp.init_state()
+                if self.resampler.resamp
+                else ()
+            )
+        else:
+            st["mixer"] = self.mixer.init_state()
+            st["resamp"] = self.resampler.init_state()
+        return st
 
     def out_len(self, n: int) -> int:
         return self.resampler.out_len(n)
 
     def __call__(self, state, x):
         st = dict(state)
-        st["mixer"], y = self.mixer(state["mixer"], x)  # (C, n)
-        st["resamp"], y = self.resampler(state["resamp"], y)
+        if self.fused is not None:
+            st["fused"], y = self.fused(state["fused"], x)  # (C, n/M1)
+            new_rest = []
+            for s, rst in zip(self.rest_stages, state["rest"]):
+                rst, y = s(rst, y)
+                new_rest.append(rst)
+            st["rest"] = tuple(new_rest)
+            if self.resampler.resamp is not None:
+                st["poly"], y = self.resampler.resamp(state["poly"], y)
+        else:
+            st["mixer"], y = self.mixer(state["mixer"], x)  # (C, n)
+            st["resamp"], y = self.resampler(state["resamp"], y)
         if self.lpf:
             st["lpf"], y = self.lpf(state["lpf"], y)
         return st, y

@@ -95,3 +95,22 @@ class TestCli:
         assert info.samplerate == 48000 and info.channels == 2
         tone = dominant_tone(audio[4000:, 0], 48000.0)
         assert abs(tone - 1200.0) < 20.0
+
+
+class TestScanBatch:
+    def test_batched_matches_single(self):
+        fs = 400000.0
+        iq = make_nfm_capture(fs, 100000.0, 800.0, 1 << 18)
+        def run(scan_batch):
+            fe = IQFrontend(fs, {"v0": VfoConfig(100000.0, "nfm")}, spectrum=False)
+            audio = []
+            rx = Receiver(fe, block_len=fe.block_multiple(),
+                          audio_sinks={"v0": audio.append},
+                          scan_batch=scan_batch)
+            rx.push(iq)
+            rx.flush()
+            return np.concatenate(audio, axis=-1)
+        a1 = run(1)
+        a4 = run(4)
+        n = min(a1.shape[-1], a4.shape[-1])
+        np.testing.assert_allclose(a1[..., :n], a4[..., :n], atol=1e-4)
