@@ -36,8 +36,13 @@ def main():
     block_len = (500_000 // m) * m
     K = 8  # blocks per dispatch
 
+    import os
+
+    method = os.environ.get("SDRTPU_CHAN_METHOD", "xla")
     offsets = np.linspace(-4.0e6, 4.0e6, n_vfo)
-    pipe = WbfmMultiVfoPipeline(offsets, fs_in, block_len)
+    pipe = WbfmMultiVfoPipeline(offsets, fs_in, block_len,
+                                channelizer_method=method)
+    log(f"channelizer method: {pipe.channelizer.method}")
     log(f"devices: {jax.devices()}")
     log(f"block_len={block_len} (quantum {m}), K={K}, n_vfo={n_vfo}")
 
