@@ -115,3 +115,24 @@ class TestRigctl:
         time.sleep(0.1)
         s.close()
         srv.close()
+
+
+class TestDiagrams:
+    def test_constellation(self):
+        from sdrtpu.apps.diagrams import ConstellationDiagram
+
+        cd = ConstellationDiagram(256)
+        pts = np.exp(1j * (np.random.default_rng(0).integers(0, 4, 500) * np.pi / 2 + np.pi / 4))
+        cd.push(pts.astype(np.complex64))
+        assert len(cd.points) == 256
+        assert cd.evm() < 1e-3
+        img = cd.density(64)
+        assert img.shape == (64, 64) and img.max() == 255
+
+    def test_symbol_diagram(self):
+        from sdrtpu.apps.diagrams import SymbolDiagram
+
+        sd = SymbolDiagram(128)
+        sd.push(np.array([1.0, -1.0] * 100))
+        hist, edges = sd.histogram(bins=8)
+        assert hist.sum() == 128
