@@ -1,0 +1,138 @@
+"""CCSDS concatenated-code deframer (Meteor LRPT / falcon9-style links).
+
+Completes the Meteor M2 LRPT chain past the demodulator (BASELINE
+config 4) and covers the falcon9_decoder's FEC layer: the downlink uses
+the standard CCSDS stack —
+
+    QPSK soft symbols
+      -> rate-1/2 K=7 convolutional code (polys 0o171/0o133) -> Viterbi
+      -> attached sync marker 0x1ACFFC1D on 1024-byte frames
+      -> derandomizer (CCSDS PRBS x^8+x^7+x^5+x^3+1, all-ones init)
+      -> Reed-Solomon (255,223) interleave depth 4 -> 892-byte CVCDU
+
+All bit plumbing is NumPy (frame rates are low); the Viterbi runs on
+sdrtpu's vectorized trellis (`fec/viterbi.py`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fec.reed_solomon import ReedSolomon
+from ..fec.viterbi import ConvEncoder, ViterbiDecoder
+
+ASM = 0x1ACFFC1D
+ASM_BITS = np.array([(ASM >> (31 - i)) & 1 for i in range(32)], np.uint8)
+FRAME_BYTES = 1024           # ASM-framed codeblock (after the 4-byte ASM)
+RS_INTERLEAVE = 4
+RS_N, RS_K = 255, 223
+CVCDU_BYTES = RS_K * RS_INTERLEAVE  # 892
+CONV_POLYS = (0o171, 0o133)
+
+
+def ccsds_randomizer(n_bytes: int) -> np.ndarray:
+    """CCSDS pseudo-randomizer sequence (x^8+x^7+x^5+x^3+1, init 0xFF)."""
+    reg = 0xFF
+    out = np.empty(n_bytes, np.uint8)
+    for i in range(n_bytes):
+        b = 0
+        for _ in range(8):
+            fb = ((reg >> 7) ^ (reg >> 6) ^ (reg >> 4) ^ (reg >> 2)) & 1
+            b = (b << 1) | ((reg >> 7) & 1)
+            reg = ((reg << 1) | fb) & 0xFF
+        out[i] = b
+    return out
+
+
+_RAND = None
+
+
+def _randomizer() -> np.ndarray:
+    global _RAND
+    if _RAND is None:
+        _RAND = ccsds_randomizer(FRAME_BYTES)
+    return _RAND
+
+
+def rs_interleave_encode(data: np.ndarray, rs: ReedSolomon) -> np.ndarray:
+    """(892,) CVCDU bytes -> (1020,) RS codeblock, interleave depth 4."""
+    d = np.asarray(data, np.uint8).reshape(RS_K, RS_INTERLEAVE)
+    blocks = [rs.encode(d[:, i]) for i in range(RS_INTERLEAVE)]
+    out = np.empty((RS_N, RS_INTERLEAVE), np.uint8)
+    for i, b in enumerate(blocks):
+        out[:, i] = b
+    return out.reshape(-1)
+
+
+def rs_interleave_decode(code: np.ndarray, rs: ReedSolomon):
+    c = np.asarray(code, np.uint8).reshape(RS_N, RS_INTERLEAVE)
+    out = np.empty((RS_K, RS_INTERLEAVE), np.uint8)
+    total = 0
+    for i in range(RS_INTERLEAVE):
+        data, nerr = rs.decode(c[:, i])
+        if nerr < 0:
+            return None, -1
+        total += nerr
+        out[:, i] = data
+    return out.reshape(-1), total
+
+
+class CcsdsEncoder:
+    """Frame bytes -> soft QPSK symbols (tests / tx)."""
+
+    def __init__(self):
+        self.rs = ReedSolomon(nroots=32, prim_poly=0x187, fcr=112, prim=11)
+        self.conv = ConvEncoder(7, CONV_POLYS)
+
+    def encode(self, cvcdus: list[np.ndarray]) -> np.ndarray:
+        bits = []
+        for cv in cvcdus:
+            code = rs_interleave_encode(cv, self.rs)
+            # pad codeblock to FRAME_BYTES with zeros (1020 -> 1024)
+            frame = np.zeros(FRAME_BYTES, np.uint8)
+            frame[: len(code)] = code
+            frame ^= _randomizer()
+            bits.append(ASM_BITS)
+            bits.append(np.unpackbits(frame))
+        all_bits = np.concatenate(bits)
+        coded = self.conv.encode(all_bits)
+        # soft symbols: bit 0 -> +1
+        return (1.0 - 2.0 * coded.astype(np.float32))
+
+
+class CcsdsDeframer:
+    """Soft channel symbols -> CVCDU frames with RS statistics."""
+
+    def __init__(self):
+        self.rs = ReedSolomon(nroots=32, prim_poly=0x187, fcr=112, prim=11)
+        self.viterbi = ViterbiDecoder(7, CONV_POLYS)
+        self.frames: list[np.ndarray] = []
+        self.rs_errors: list[int] = []
+
+    def process(self, soft: np.ndarray) -> list[np.ndarray]:
+        """Decode a block of soft symbols; returns new CVCDUs."""
+        decoded = np.asarray(self.viterbi.decode(np.asarray(soft, np.float32)))
+        return self.process_bits(decoded)
+
+    def process_bits(self, bits: np.ndarray) -> list[np.ndarray]:
+        bits = np.asarray(bits, np.uint8)
+        new = []
+        frame_bits = 32 + FRAME_BYTES * 8
+        i = 0
+        while i + frame_bits <= len(bits):
+            w = bits[i : i + 32]
+            inv = np.count_nonzero(w != ASM_BITS)
+            if inv <= 3 or inv >= 29:  # direct or inverted sync
+                fb = bits[i + 32 : i + frame_bits]
+                if inv >= 29:
+                    fb = fb ^ 1
+                frame = np.packbits(fb) ^ _randomizer()
+                data, nerr = rs_interleave_decode(frame[: RS_N * RS_INTERLEAVE], self.rs)
+                if data is not None:
+                    new.append(data)
+                    self.frames.append(data)
+                    self.rs_errors.append(nerr)
+                i += frame_bits
+            else:
+                i += 1
+        return new
