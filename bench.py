@@ -14,12 +14,20 @@ latency is amortized.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: Pallas/Mosaic programs take minutes through
+# the remote-compile tunnel; cached executables load in seconds.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def log(*a):

@@ -1,0 +1,93 @@
+"""Headless baseband server — ``sdrpp --server`` parity (``core/src/server.cpp``).
+
+Serves an IQ source over the SDR++ server protocol: clients (including an
+actual SDR++ ``sdrpp_server_source``) connect, set sample type/compression,
+START/STOP the stream and tune; baseband flows out PCM-scale-compressed.
+
+    python -m sdrtpu.apps.server --input capture.wav --port 5259
+    python -m sdrtpu.apps.server --source network --listen-port 4950
+
+The file source loops its capture at real-time rate (like file_source).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..io import wav
+from ..io.net import NetworkSource
+from ..io.server_protocol import SdrppServer
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sdrtpu-server", description=__doc__)
+    ap.add_argument("--input", help="IQ WAV file to serve (file source)")
+    ap.add_argument("--source", default="file", choices=["file", "network"])
+    ap.add_argument("--listen-port", type=int, default=4950,
+                    help="raw IQ ingest port for --source network")
+    ap.add_argument("--format", default="i16", choices=["u8", "i16", "f32"])
+    ap.add_argument("--addr", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=5259)
+    ap.add_argument("--samplerate", type=float, default=None)
+    ap.add_argument("--block", type=int, default=65536)
+    ap.add_argument("--max-seconds", type=float, default=None,
+                    help="exit after this long (tests/automation)")
+    args = ap.parse_args(argv)
+
+    if args.source == "file":
+        if not args.input:
+            ap.error("--input required for the file source")
+        info, iq = wav.read_iq_wav(args.input)
+        fs = args.samplerate or info.samplerate
+        print(f"serving {args.input}: {fs} S/s, {len(iq)} samples (looped)",
+              file=sys.stderr, flush=True)
+        net_src = None
+    else:
+        fs = args.samplerate or 1_000_000.0
+        net_src = NetworkSource("tcp", "0.0.0.0", args.listen_port, args.format)
+        iq = None
+        print(f"ingesting raw IQ on :{net_src.port}", file=sys.stderr, flush=True)
+
+    tuned = {"freq": 0.0}
+    server = SdrppServer(
+        args.addr, args.port, samplerate=fs,
+        tune_callback=lambda f: tuned.update(freq=f),
+    )
+    print(f"listening on {args.addr}:{server.port}", file=sys.stderr, flush=True)
+
+    t_start = time.time()
+    pos = 0
+    try:
+        while True:
+            if args.max_seconds and time.time() - t_start > args.max_seconds:
+                break
+            if not server.running:
+                time.sleep(0.05)
+                continue
+            if iq is not None:
+                block = iq[pos : pos + args.block]
+                if len(block) < args.block:
+                    pos = 0
+                    continue
+                pos += args.block
+                server.send_baseband(block)
+                time.sleep(args.block / fs)  # real-time pacing
+            else:
+                chunk = net_src.read(timeout=0.25)
+                if chunk is not None and len(chunk):
+                    server.send_baseband(chunk)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+        if net_src:
+            net_src.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
