@@ -46,6 +46,9 @@ MODE_INFO = {
     "lsb": dict(if_rate=24000.0, bandwidth=2800.0, deemp=None),
     "dsb": dict(if_rate=24000.0, bandwidth=4600.0, deemp=None),
     "cw": dict(if_rate=3000.0, bandwidth=200.0, deemp=None),
+    # RAW: IQ passthrough at the audio rate (I->L, Q->R), radio_module's
+    # RAW demod ("demodulators/raw.h": IF rate = audio samplerate)
+    "raw": dict(if_rate=48000.0, bandwidth=48000.0, deemp=None),
 }
 
 
@@ -69,7 +72,9 @@ class RadioChain(StreamOp):
         stereo: bool = True,
         rds: bool = False,
     ):
-        info = MODE_INFO[mode]
+        info = dict(MODE_INFO[mode])
+        if mode == "raw":
+            info["if_rate"] = float(audio_rate)
         self.mode = mode
         self.if_rate = info["if_rate"]
         self.audio_rate = float(audio_rate)
@@ -96,6 +101,8 @@ class RadioChain(StreamOp):
             self.demod = Ssb(self.if_rate, bw, mode=mode)
         elif mode == "cw":
             self.demod = Cw(self.if_rate)
+        elif mode == "raw":
+            self.demod = None
         else:
             raise ValueError(f"unknown mode {mode}")
 
@@ -117,7 +124,7 @@ class RadioChain(StreamOp):
             "nb": self.nb.init_state() if self.nb else (),
             "sq": self.squelch.init_state() if self.squelch else (),
             "fmnr": self.fmnr.init_state() if self.fmnr else (),
-            "demod": self.demod.init_state(),
+            "demod": self.demod.init_state() if self.demod else (),
             "resamp": self.resamp.init_state(),
             "hpf": self.hpf.init_state() if self.hpf else (),
             "deemph": self.deemph.init_state() if self.deemph else (),
@@ -137,6 +144,8 @@ class RadioChain(StreamOp):
 
         if self.mode == "wfm":
             st["demod"], (audio, _rds) = self.demod(state["demod"], x)  # (2, n)
+        elif self.mode == "raw":
+            audio = jnp.stack([x.real, x.imag])
         else:
             st["demod"], mono = self.demod(state["demod"], x)
             audio = jnp.stack([mono, mono])
