@@ -30,7 +30,7 @@ from ..graph.compile import complexify, realify, to_numpy
 from ..kernels.fftspec import SpectrumAnalyzer
 from ..kernels.iir import DcBlocker
 from ..kernels.mixer import FreqXlator
-from ..kernels.resample import RationalResampler
+from ..kernels.resample import IntegerDecimator, RationalResampler
 from .radio import MODE_INFO, RadioChain
 
 
@@ -117,17 +117,28 @@ class IQFrontend(StreamOp):
         vfos: dict[str, VfoConfig],
         audio_rate: float = 48000.0,
         dc_block: bool = False,
+        decimation: int = 1,
         fft_size: int = 65536,
         fft_rate: float = 20.0,
         spectrum: bool = True,
     ):
+        # optional frontend decimation ahead of everything, the analog of
+        # IQFrontEnd's PowerDecimator + effective samplerate
+        # (iq_frontend.cpp:17-70)
         self.samplerate = float(samplerate)
-        self.dc = DcBlocker(50.0 / samplerate) if dc_block else None
+        self.decimation = int(decimation)
+        self.predecim = (
+            IntegerDecimator(samplerate, self.decimation)
+            if self.decimation > 1 else None
+        )
+        eff = self.samplerate / self.decimation
+        self.effective_samplerate = eff
+        self.dc = DcBlocker(50.0 / eff) if dc_block else None
         self.spectrum = (
-            SpectrumAnalyzer(samplerate, fft_size, fft_rate) if spectrum else None
+            SpectrumAnalyzer(eff, fft_size, fft_rate) if spectrum else None
         )
         self.vfos = {
-            name: Vfo(cfg, samplerate, audio_rate) for name, cfg in vfos.items()
+            name: Vfo(cfg, eff, audio_rate) for name, cfg in vfos.items()
         }
 
     def block_multiple(self) -> int:
@@ -136,16 +147,19 @@ class IQFrontend(StreamOp):
             m = np.lcm(m, v.block_multiple())
         if self.spectrum:
             m = np.lcm(m, self.spectrum.interval)
-        return int(m)
+        return int(m) * self.decimation
 
     def init_state(self):
         return {
+            "pre": self.predecim.init_state() if self.predecim else (),
             "dc": self.dc.init_state() if self.dc else (),
             "vfos": {n: v.init_state() for n, v in self.vfos.items()},
         }
 
     def __call__(self, state, x):
-        st = {"dc": state["dc"], "vfos": {}}
+        st = {"pre": state["pre"], "dc": state["dc"], "vfos": {}}
+        if self.predecim:
+            st["pre"], x = self.predecim(state["pre"], x)
         if self.dc:
             st["dc"], x = self.dc(state["dc"], x)
         spec = None

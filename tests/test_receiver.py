@@ -114,3 +114,22 @@ class TestScanBatch:
         a4 = run(4)
         n = min(a1.shape[-1], a4.shape[-1])
         np.testing.assert_allclose(a1[..., :n], a4[..., :n], atol=1e-4)
+
+
+class TestFrontendDecimation:
+    def test_decimated_frontend(self):
+        fs = 800000.0
+        iq = make_nfm_capture(fs, 100000.0, 800.0, 1 << 18)
+        fe = IQFrontend(
+            fs, {"v0": VfoConfig(100000.0, "nfm")},
+            decimation=2, spectrum=False,
+        )
+        assert fe.effective_samplerate == 400000.0
+        audio = []
+        rx = Receiver(fe, block_len=fe.block_multiple(),
+                      audio_sinks={"v0": audio.append})
+        rx.push(iq)
+        rx.flush()
+        a = np.concatenate(audio, axis=-1)
+        tone = dominant_tone(a[0][2000:], 48000.0)
+        assert abs(tone - 800.0) < 20.0
