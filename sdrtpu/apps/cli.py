@@ -50,7 +50,22 @@ def main(argv=None) -> int:
     ap.add_argument("--fft-rate", type=float, default=20.0)
     ap.add_argument("--spectrum-out", default=None,
                     help="write waterfall dB frames to this .npy")
+    ap.add_argument("--config", default=None,
+                    help="JSON receiver config (ConfigManager format); CLI "
+                         "flags override its values")
     args = ap.parse_args(argv)
+
+    if args.config:
+        from .config import ConfigManager
+
+        conf = ConfigManager(args.config).load(save_if_changed=False)
+        for key in ("mode", "offset", "bandwidth", "squelch", "audio_rate",
+                    "fft_size", "fft_rate", "block_len"):
+            if key in conf and ap.get_default(key.replace("-", "_")) == getattr(args, key.replace("-", "_")):
+                setattr(args, key.replace("-", "_"), conf[key])
+        for name, v in conf.get("vfos", {}).items():
+            args.vfo.append(f"{name}:{v['offset']}:{v['mode']}" +
+                            (f":{v['bandwidth']}" if v.get("bandwidth") else ""))
 
     info, iq = wav.read_iq_wav(args.input)
     print(f"input: {args.input}: {info.samplerate} S/s, "

@@ -136,3 +136,15 @@ class TestDiagrams:
         sd.push(np.array([1.0, -1.0] * 100))
         hist, edges = sd.histogram(bins=8)
         assert hist.sum() == 128
+
+
+class TestBenchmarkUtility:
+    def test_measure_op_cpu(self):
+        import jax.numpy as jnp
+        from sdrtpu.benchmark import measure_op
+        from sdrtpu.kernels.fir import Fir
+        from sdrtpu.kernels import taps
+
+        op = Fir(taps.low_pass(0.2, 0.1, 1.0), dtype=jnp.complex64)
+        r = measure_op(op, (8192,), k_blocks=2, n_dispatch=2, reps=1)
+        assert r["msps"] > 0 and r["backend"] == "cpu"

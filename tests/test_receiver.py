@@ -133,3 +133,27 @@ class TestFrontendDecimation:
         a = np.concatenate(audio, axis=-1)
         tone = dominant_tone(a[0][2000:], 48000.0)
         assert abs(tone - 800.0) < 20.0
+
+
+class TestCliConfig:
+    def test_config_file(self, tmp_path):
+        import json
+        from sdrtpu.apps.cli import main
+
+        fs = 250000.0
+        n = 1 << 17
+        t = np.arange(n) / fs
+        msg = np.sin(2 * np.pi * 900.0 * t)
+        iq = np.exp(1j * np.cumsum(2 * np.pi * 75000.0 * msg / fs)).astype(np.complex64)
+        in_path = str(tmp_path / "c.wav")
+        out_path = str(tmp_path / "a.wav")
+        wav.write_iq_wav(in_path, int(fs), iq, "float32")
+        cfg = str(tmp_path / "rx.json")
+        with open(cfg, "w") as f:
+            json.dump({"mode": "wfm", "offset": 0.0}, f)
+        rc = main(["--input", in_path, "--output", out_path,
+                   "--config", cfg, "--mono", "--no-spectrum"])
+        assert rc == 0
+        info, audio = wav.read_wav(out_path)
+        tone = dominant_tone(audio[4000:, 0], 48000.0)
+        assert abs(tone - 900.0) < 20.0
