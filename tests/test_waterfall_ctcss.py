@@ -85,3 +85,21 @@ class TestCtcss:
         st, (out, tone) = sq(st, jnp.asarray(noise))
         assert bool(st["mute"])
         assert np.allclose(np.asarray(out), 0.0)
+
+
+class TestResources:
+    def test_bundled_colormaps_load(self):
+        import glob
+        from sdrtpu.apps.waterfall import load_colormap, build_palette
+
+        files = glob.glob("res/colormaps/*.json")
+        assert len(files) >= 5
+        for f in files:
+            lut = build_palette(load_colormap(f))
+            assert lut.shape == (1000, 4)
+
+    def test_bundled_bandplan_loads(self):
+        from sdrtpu.apps.bandplan import BandPlan
+
+        bp = BandPlan.load("res/bandplans/general.json")
+        assert bp.lookup(98.5e6)
