@@ -45,14 +45,15 @@ class WbfmMultiVfoPipeline(StreamOp):
         deviation: float = 75000.0,
         stereo: bool = True,
         tau: float = 50e-6,
-        channelizer_method: str = "xla",
+        channelizer_method: str = "auto",
     ):
         self.offsets = np.asarray(offsets_hz, np.float64)
         self.n_channels = len(self.offsets)
         self.block_len = int(block_len)
-        # NOTE: default is the plain-XLA channelizer; the fused Pallas path
-        # (~8x faster front end) is opt-in via channelizer_method="pallas"
-        # until its in-scan stability on the TPU runtime is fully validated.
+        # NOTE: "auto" picks the modulated-taps xla-fused front end (mix
+        # folded into the first decimation stage).  The Pallas kernel path
+        # remains opt-in via channelizer_method="pallas" until its in-scan
+        # stability on the TPU runtime is fully validated.
         self.channelizer = Channelizer(
             self.offsets, in_samplerate, if_rate, block_len,
             method=channelizer_method,

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.block import StreamOp
-from ..kernels.fir import Fir
+from ..kernels.fir import Fir, correlate_valid_bank
 from ..kernels.pallas_channelizer import FusedChannelizerStage
 from ..kernels.resample import RationalResampler
 from ..kernels import taps as tapsmod
@@ -94,6 +94,64 @@ class MultiVfoMixer(StreamOp):
         return {**state, "phase": new_phase}, y
 
 
+class ModulatedDecimatorStage(StreamOp):
+    """Fused mix + first decimation stage in pure XLA (modulated taps).
+
+    Algebraic identity: with mixer phase ``w'_c = -2*pi*f_c/fs`` and a
+    decimate-by-M FIR ``h`` of length T,
+
+        out[c, i] = sum_t X[s + iM + t - (T-1)] * e^{j w'_c (s+iM+t-(T-1))} * h[t]
+                  = e^{j w'_c (s + iM - (T-1))} * sum_t X[...] * (h[t] e^{j w'_c t})
+
+    so the per-channel full-rate mix folds into per-channel complex taps
+    ``h_c[t] = h[t] e^{j w'_c t}`` applied to the SHARED input (one
+    `correlate_valid_bank` pass), and the residual rotator runs at the
+    *decimated* rate (M-times cheaper than `MultiVfoMixer` at full rate).
+    Output equals MultiVfoMixer -> DecimatingFir up to float reassociation
+    (asserted in tests/test_pallas_channelizer.py).
+
+    The carried tail is the shared wideband input (C-independent) — less
+    state than the unfused path's per-channel full-rate tails.
+    """
+
+    def __init__(self, offsets_hz, samplerate, taps, decimation, block_len):
+        offsets = np.asarray(offsets_hz, np.float64)  # channel centers f_c
+        taps = np.asarray(taps, np.float64)
+        self.M = int(decimation)
+        self.T = int(taps.shape[0])
+        self.n_channels = len(offsets)
+        omega_p = -_TWO_PI * offsets / float(samplerate)  # (C,) mixer rate
+        t_idx = np.arange(self.T, dtype=np.float64)
+        self.taps_mod = (
+            taps[None, :] * np.exp(1j * omega_p[:, None] * t_idx)
+        ).astype(np.complex64)
+        # residual rotator at the decimated rate; -f_c at fs/M gives the
+        # required e^{j w'_c M i} progression (same sign convention as the
+        # unfused Channelizer mixer)
+        self.rot = MultiVfoMixer(
+            -offsets, samplerate / self.M, block_len // self.M
+        )
+        # constant phase e^{-j w'_c (T-1)} from the history-buffer offset
+        self._phase0 = np.mod(-(omega_p * (self.T - 1)), _TWO_PI).astype(
+            np.float32
+        )
+
+    def init_state(self):
+        rot = self.rot.init_state()
+        rot["phase"] = self._phase0.copy()
+        return {"tail": np.zeros(self.T - 1, np.complex64), "rot": rot}
+
+    def out_len(self, n: int) -> int:
+        return n // self.M
+
+    def __call__(self, state, x):
+        n = x.shape[-1]
+        ext = jnp.concatenate([jnp.asarray(state["tail"]), x.astype(jnp.complex64)])
+        y = correlate_valid_bank(ext, self.taps_mod, stride=self.M)  # (C, n/M)
+        st_rot, y = self.rot(state["rot"], y)
+        return {"tail": ext[n:], "rot": st_rot}, y
+
+
 def _pallas_eligible(resampler: RationalResampler) -> bool:
     if resampler.predecim is None or not resampler.predecim.stages:
         return False
@@ -131,15 +189,18 @@ class Channelizer(StreamOp):
         self.n_channels = len(self.offsets)
         self.block_len = int(block_len)
 
+        has_predecim = (
+            self.resampler.predecim is not None
+            and len(self.resampler.predecim.stages) > 0
+        )
         if method == "auto":
-            on_tpu = jax.devices()[0].platform not in ("cpu",)
-            method = (
-                "pallas" if on_tpu and _pallas_eligible(self.resampler) else "xla"
-            )
+            method = "xla-fused" if has_predecim else "xla"
         if method in ("pallas", "pallas-interpret") and not _pallas_eligible(
             self.resampler
         ):
             raise ValueError("resampler plan not eligible for the fused kernel")
+        if method == "xla-fused" and not has_predecim:
+            method = "xla"
         self.method = method
 
         if method in ("pallas", "pallas-interpret"):
@@ -151,6 +212,17 @@ class Channelizer(StreamOp):
                 s0.decimation,
                 block_len,
                 interpret=(method == "pallas-interpret"),
+            )
+            self.rest_stages = self.resampler.predecim.stages[1:]
+            self.mixer = None
+        elif method == "xla-fused":
+            s0 = self.resampler.predecim.stages[0]
+            self.fused = ModulatedDecimatorStage(
+                self.offsets,
+                in_samplerate,
+                np.asarray(s0.taps),
+                s0.decimation,
+                block_len,
             )
             self.rest_stages = self.resampler.predecim.stages[1:]
             self.mixer = None

@@ -83,3 +83,83 @@ def test_non_tile_aligned_block():
     ref = np.asarray(ref)
     assert y.shape == ref.shape
     np.testing.assert_allclose(y, ref, atol=2e-3 * np.abs(ref).max())
+
+
+class TestModulatedDecimator:
+    """xla-fused stage (modulated taps) vs the unfused reference ops."""
+
+    @pytest.mark.parametrize("decim", [8, 5, 2])
+    def test_matches_unfused(self, decim):
+        from sdrtpu.shard.channelizer import ModulatedDecimatorStage
+
+        fs = 10e6
+        n = 4000
+        offsets = np.array([-3e6, -1e6, 0.5e6, 2.75e6])
+        taps = make_taps(36)
+        x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(
+            np.complex64
+        )
+
+        stage = ModulatedDecimatorStage(offsets, fs, taps, decim, n)
+        st = stage.init_state()
+        st, y = stage(st, jnp.asarray(x))
+        y = np.asarray(y)
+
+        mixer = MultiVfoMixer([-f for f in offsets], fs, n)
+        dec = DecimatingFir(taps, decim)
+        mst, mixed = mixer(mixer.init_state(), jnp.asarray(x))
+        dst = np.zeros((len(offsets), dec.ntaps - 1), np.complex64)
+        dst, ref = dec(dst, mixed)
+        ref = np.asarray(ref)
+
+        assert y.shape == ref.shape
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(y, ref, atol=2e-3 * scale)
+
+    def test_streaming_chunks_match(self):
+        from sdrtpu.shard.channelizer import ModulatedDecimatorStage
+
+        fs = 10e6
+        n = 4000
+        offsets = np.array([1.5e6, -2.5e6])
+        taps = make_taps(36)
+        x = (
+            RNG.standard_normal(2 * n) + 1j * RNG.standard_normal(2 * n)
+        ).astype(np.complex64)
+        stage = ModulatedDecimatorStage(offsets, fs, taps, 8, n)
+        st = stage.init_state()
+        st, y1 = stage(st, jnp.asarray(x[:n]))
+        st, y2 = stage(st, jnp.asarray(x[n:]))
+        got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+
+        mixer = MultiVfoMixer([-f for f in offsets], fs, 2 * n)
+        dec = DecimatingFir(taps, 8)
+        mst, mixed = mixer(mixer.init_state(), jnp.asarray(x))
+        dst = np.zeros((len(offsets), dec.ntaps - 1), np.complex64)
+        dst, ref = dec(dst, mixed)
+        ref = np.asarray(ref)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=2e-3 * scale)
+
+    def test_full_channelizer_paths_agree(self):
+        from sdrtpu.shard.channelizer import Channelizer
+
+        fs, f_if = 2_000_000.0, 250_000.0
+        offsets = np.array([-700e3, 0.0, 412e3])
+        cz_ref = Channelizer(offsets, fs, f_if, 16000, method="xla")
+        cz_new = Channelizer(offsets, fs, f_if, 16000, method="xla-fused")
+        assert cz_new.method == "xla-fused"
+        x = (
+            RNG.standard_normal(32000) + 1j * RNG.standard_normal(32000)
+        ).astype(np.complex64)
+        sr, sn = cz_ref.init_state(), cz_new.init_state()
+        outs_r, outs_n = [], []
+        for blk in x.reshape(2, 16000):
+            sr, yr = cz_ref(sr, jnp.asarray(blk))
+            sn, yn = cz_new(sn, jnp.asarray(blk))
+            outs_r.append(np.asarray(yr))
+            outs_n.append(np.asarray(yn))
+        ref = np.concatenate(outs_r, axis=-1)
+        got = np.concatenate(outs_n, axis=-1)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=2e-3 * scale)
