@@ -85,44 +85,59 @@ def correlate_valid(x: jax.Array, taps, stride: int = 1) -> jax.Array:
 
 
 def correlate_valid_bank(x, taps_bank, stride: int = 1) -> jax.Array:
-    """Valid correlation of ONE signal against a BANK of tap vectors.
+    """Valid correlation against a BANK of per-channel tap vectors.
 
-    ``out[c, i] = sum_t x[i*stride + t] * taps_bank[c, t]`` for a 1-D
-    ``x`` and host taps ``(C, T)``.  The per-tap term is an outer product
-    ``taps[:, t, None] * seg[None, :]`` — XLA fuses the T broadcasted
-    AXPYs into one loop that reads ``x`` once, so the C channels cost
-    almost nothing extra in HBM traffic.  Used by the fused multi-VFO
-    channelizer front end (per-channel *modulated* taps: the mixer folded
-    into the filter).  All-zero tap columns (half-band filters) are
-    skipped on the host.
+    Host taps ``(C, T)``; two input layouts:
+
+    - ``x`` 1-D ``(n,)`` — one shared signal, per-tap term is the outer
+      product ``taps[:, t, None] * seg[None, :]`` -> out ``(C, i)``:
+      ``out[c, i] = sum_t x[i*stride + t] * taps_bank[c, t]``.
+    - ``x`` 2-D ``(C, n)`` — per-channel signals filtered by their own
+      taps: ``out[c, i] = sum_t x[c, i*stride + t] * taps_bank[c, t]``.
+
+    XLA fuses the T broadcasted AXPYs into one loop that reads ``x``
+    once, so the C channels cost almost nothing extra in HBM traffic.
+    Used by the fused multi-VFO channelizer front end (per-channel
+    *modulated* taps: the mixer folded into the filter).  All-zero tap
+    columns (half-band filters) are skipped on the host.
     """
     taps = np.asarray(taps_bank)
-    assert x.ndim == 1 and taps.ndim == 2
+    assert x.ndim in (1, 2) and taps.ndim == 2
     if np.iscomplexobj(taps) and not jnp.iscomplexobj(x):
         x = x.astype(jnp.complex64)
     L = x.shape[-1]
     C, T = taps.shape
     M = int(stride)
+    shared = x.ndim == 1
+    if not shared:
+        assert x.shape[0] == C
     live = [t for t in range(T) if np.any(taps[:, t] != 0)]
+    out_dtype = x.dtype if not np.iscomplexobj(taps) else jnp.complex64
+
+    def term(t, seg):
+        col = jnp.asarray(taps[:, t])[:, None]
+        return col * (seg[None, :] if shared else seg)
+
     if M == 1:
         span = L - T + 1
-        acc = jnp.zeros((C, span), x.dtype if not np.iscomplexobj(taps) else jnp.complex64)
+        acc = jnp.zeros((C, span), out_dtype)
         for t in live:
             seg = jax.lax.dynamic_slice_in_dim(x, t, span, axis=-1)
-            acc = acc + jnp.asarray(taps[:, t])[:, None] * seg[None, :]
+            acc = acc + term(t, seg)
         return acc
 
     # polyphase layout (see correlate_valid): unit-stride slices only
     A = (L - T) // M + 1
     q_max = (T - 1) // M
     rows = max(-(-L // M), A + q_max)
-    xp = jnp.pad(x, [(0, rows * M - L)])
-    xt = xp.reshape(rows, M).T  # (M, rows)
-    acc = jnp.zeros((C, A), x.dtype if not np.iscomplexobj(taps) else jnp.complex64)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, rows * M - L)]
+    xp = jnp.pad(x, pad)
+    xt = jnp.swapaxes(xp.reshape(x.shape[:-1] + (rows, M)), -1, -2)
+    acc = jnp.zeros((C, A), out_dtype)
     for t in live:
         q, r = divmod(t, M)
-        seg = jax.lax.dynamic_slice_in_dim(xt[r], q, A, axis=-1)
-        acc = acc + jnp.asarray(taps[:, t])[:, None] * seg[None, :]
+        seg = jax.lax.dynamic_slice_in_dim(xt[..., r, :], q, A, axis=-1)
+        acc = acc + term(t, seg)
     return acc
 
 

@@ -94,62 +94,86 @@ class MultiVfoMixer(StreamOp):
         return {**state, "phase": new_phase}, y
 
 
-class ModulatedDecimatorStage(StreamOp):
-    """Fused mix + first decimation stage in pure XLA (modulated taps).
+class ModulatedDecimatorChain(StreamOp):
+    """Fused mix + multistage decimation in pure XLA (modulated taps).
 
-    Algebraic identity: with mixer phase ``w'_c = -2*pi*f_c/fs`` and a
-    decimate-by-M FIR ``h`` of length T,
+    Algebraic identity, first stage: with mixer phase
+    ``w'_c = -2*pi*f_c/fs`` and a decimate-by-M FIR ``h`` of length T,
 
         out[c, i] = sum_t X[s + iM + t - (T-1)] * e^{j w'_c (s+iM+t-(T-1))} * h[t]
                   = e^{j w'_c (s + iM - (T-1))} * sum_t X[...] * (h[t] e^{j w'_c t})
 
     so the per-channel full-rate mix folds into per-channel complex taps
     ``h_c[t] = h[t] e^{j w'_c t}`` applied to the SHARED input (one
-    `correlate_valid_bank` pass), and the residual rotator runs at the
-    *decimated* rate (M-times cheaper than `MultiVfoMixer` at full rate).
-    Output equals MultiVfoMixer -> DecimatingFir up to float reassociation
+    `correlate_valid_bank` pass).  The residual rotator then *commutes
+    through every later decimation stage* by the same identity with
+    per-sample phase ``w'_c * prod(M_prev)`` — each stage k gets taps
+    ``h_k[t] e^{j w'_c R_k t}`` (R_k = decimation product before it) and
+    contributes ``-w'_c R_k (T_k - 1)`` to the constant phase — leaving a
+    single rotator at the FINAL decimated rate (e.g. 250 kHz instead of
+    10 MHz: a 40x cheaper mixer for the WBFM 8-VFO pipeline).  Output
+    equals MultiVfoMixer -> IntegerDecimator up to float reassociation
     (asserted in tests/test_pallas_channelizer.py).
 
-    The carried tail is the shared wideband input (C-independent) — less
-    state than the unfused path's per-channel full-rate tails.
+    The carried stage-1 tail is the shared wideband input
+    (C-independent); later-stage tails are per-channel at their (already
+    decimated) rates.
     """
 
-    def __init__(self, offsets_hz, samplerate, taps, decimation, block_len):
+    def __init__(self, offsets_hz, samplerate, stages, block_len):
+        """``stages``: list of (taps, decimation) pairs, input rate order."""
         offsets = np.asarray(offsets_hz, np.float64)  # channel centers f_c
-        taps = np.asarray(taps, np.float64)
-        self.M = int(decimation)
-        self.T = int(taps.shape[0])
         self.n_channels = len(offsets)
         omega_p = -_TWO_PI * offsets / float(samplerate)  # (C,) mixer rate
-        t_idx = np.arange(self.T, dtype=np.float64)
-        self.taps_mod = (
-            taps[None, :] * np.exp(1j * omega_p[:, None] * t_idx)
-        ).astype(np.complex64)
-        # residual rotator at the decimated rate; -f_c at fs/M gives the
-        # required e^{j w'_c M i} progression (same sign convention as the
-        # unfused Channelizer mixer)
-        self.rot = MultiVfoMixer(
-            -offsets, samplerate / self.M, block_len // self.M
-        )
-        # constant phase e^{-j w'_c (T-1)} from the history-buffer offset
-        self._phase0 = np.mod(-(omega_p * (self.T - 1)), _TWO_PI).astype(
-            np.float32
-        )
+        self.stage_plan: list[tuple[np.ndarray, int, int]] = []
+        phase0 = np.zeros(self.n_channels, np.float64)
+        rate_mult = 1  # product of decimations applied so far
+        n = int(block_len)
+        for taps, M in stages:
+            taps = np.asarray(taps, np.float64)
+            T = int(taps.shape[0])
+            M = int(M)
+            t_idx = np.arange(T, dtype=np.float64)
+            mod = taps[None, :] * np.exp(
+                1j * np.mod(omega_p[:, None] * rate_mult * t_idx, _TWO_PI)
+            )
+            self.stage_plan.append((mod.astype(np.complex64), M, T))
+            phase0 -= omega_p * rate_mult * (T - 1)
+            rate_mult *= M
+            assert n % M == 0, (n, M)
+            n //= M
+        self.ratio = rate_mult
+        self.rot = MultiVfoMixer(-offsets, samplerate / rate_mult, n)
+        self._phase0 = np.mod(phase0, _TWO_PI).astype(np.float32)
 
     def init_state(self):
         rot = self.rot.init_state()
         rot["phase"] = self._phase0.copy()
-        return {"tail": np.zeros(self.T - 1, np.complex64), "rot": rot}
+        tails = [np.zeros(self.stage_plan[0][2] - 1, np.complex64)]
+        for _, _, T in self.stage_plan[1:]:
+            tails.append(np.zeros((self.n_channels, T - 1), np.complex64))
+        return {"tails": tuple(tails), "rot": rot}
 
     def out_len(self, n: int) -> int:
-        return n // self.M
+        return n // self.ratio
 
     def __call__(self, state, x):
-        n = x.shape[-1]
-        ext = jnp.concatenate([jnp.asarray(state["tail"]), x.astype(jnp.complex64)])
-        y = correlate_valid_bank(ext, self.taps_mod, stride=self.M)  # (C, n/M)
+        y = x.astype(jnp.complex64)
+        new_tails = []
+        for (taps_mod, M, T), tail in zip(self.stage_plan, state["tails"]):
+            n = y.shape[-1]
+            ext = jnp.concatenate([jnp.asarray(tail), y], axis=-1)
+            new_tails.append(ext[..., n:])
+            y = correlate_valid_bank(ext, taps_mod, stride=M)  # (C, n/M)
         st_rot, y = self.rot(state["rot"], y)
-        return {"tail": ext[n:], "rot": st_rot}, y
+        return {"tails": tuple(new_tails), "rot": st_rot}, y
+
+
+def ModulatedDecimatorStage(offsets_hz, samplerate, taps, decimation, block_len):
+    """Single-stage convenience wrapper around `ModulatedDecimatorChain`."""
+    return ModulatedDecimatorChain(
+        offsets_hz, samplerate, [(taps, decimation)], block_len
+    )
 
 
 def _pallas_eligible(resampler: RationalResampler) -> bool:
@@ -216,15 +240,16 @@ class Channelizer(StreamOp):
             self.rest_stages = self.resampler.predecim.stages[1:]
             self.mixer = None
         elif method == "xla-fused":
-            s0 = self.resampler.predecim.stages[0]
-            self.fused = ModulatedDecimatorStage(
+            self.fused = ModulatedDecimatorChain(
                 self.offsets,
                 in_samplerate,
-                np.asarray(s0.taps),
-                s0.decimation,
+                [
+                    (np.asarray(s.taps), s.decimation)
+                    for s in self.resampler.predecim.stages
+                ],
                 block_len,
             )
-            self.rest_stages = self.resampler.predecim.stages[1:]
+            self.rest_stages = []
             self.mixer = None
         else:
             self.fused = None

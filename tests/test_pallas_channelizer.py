@@ -163,3 +163,27 @@ class TestModulatedDecimator:
         got = np.concatenate(outs_n, axis=-1)
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got, ref, atol=2e-3 * scale)
+
+    def test_multistage_chain_matches_unfused_streaming(self):
+        from sdrtpu.shard.channelizer import Channelizer
+
+        fs, f_if = 10_000_000.0, 250_000.0  # ratio 40 -> stages [8, 5]
+        offsets = np.array([-4e6, -1.3e6, 0.0, 2.2e6, 3.9e6])
+        n = 40_000
+        cz_ref = Channelizer(offsets, fs, f_if, n, method="xla")
+        cz_new = Channelizer(offsets, fs, f_if, n, method="xla-fused")
+        assert len(cz_new.fused.stage_plan) == 2
+        x = (
+            RNG.standard_normal(3 * n) + 1j * RNG.standard_normal(3 * n)
+        ).astype(np.complex64)
+        sr, sn = cz_ref.init_state(), cz_new.init_state()
+        outs_r, outs_n = [], []
+        for blk in x.reshape(3, n):
+            sr, yr = cz_ref(sr, jnp.asarray(blk))
+            sn, yn = cz_new(sn, jnp.asarray(blk))
+            outs_r.append(np.asarray(yr))
+            outs_n.append(np.asarray(yn))
+        ref = np.concatenate(outs_r, axis=-1)
+        got = np.concatenate(outs_n, axis=-1)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=3e-3 * scale)
