@@ -17,10 +17,9 @@ TPU-native structure — OFDM is naturally block-parallel:
 - FIC: rate-1/4 K=7 mother code (polys 0o133, 0o171, 0o145, 0o133) with
   puncturing, energy-dispersal PRBS (x^9 + x^5 + 1), FIB CRC-16/CCITT.
 
-The PRS here is a deterministic pseudo-random phase table generated from
-a fixed seed rather than the ETSI h-table (self-consistent between the
-bundled modulator and demodulator; swap in the spec table for off-air
-interop).
+The PRS is the real ETSI mode-I phase reference (h-table + Table-44
+(k', i, n) parameters, §14.3.2), so coarse sync / channel estimation is
+off-air interoperable.
 """
 
 from __future__ import annotations
@@ -65,10 +64,54 @@ def _carrier_bins(k: np.ndarray) -> np.ndarray:
     return np.where(k < 0, k + FFT, k)
 
 
-def prs_phases(seed: int = 0x5B) -> np.ndarray:
-    """Deterministic PRS phase table (stand-in for the ETSI h-table)."""
-    rng = np.random.default_rng(seed)
-    return (rng.integers(0, 4, CARRIERS) * np.pi / 2).astype(np.float64)
+# ETSI EN 300 401 §14.3.2 phase reference symbol, transmission mode I:
+# phi_k = (pi/2) * (h[i, k - k'] + n) over 48 blocks of 32 carriers.
+# h rows have period 16 (the standard lists j = 0..31 with the second
+# half repeating the first).  Parameters cross-validated against the
+# reference's evaluated table (``dab_decoder/src/dab_phase_sym.h``):
+# all 1536 carriers match except the single k=+768 entry, where the
+# reference deviates from its own 11 other row-1 blocks (a generator
+# quirk there; one carrier of 1536 is inaudible either way).
+_PRS_H16 = np.array(
+    [
+        [0, 2, 0, 0, 0, 0, 1, 1, 2, 0, 0, 0, 2, 2, 1, 1],
+        [0, 3, 2, 3, 0, 1, 3, 0, 2, 1, 2, 3, 2, 3, 3, 0],
+        [0, 0, 0, 2, 0, 2, 1, 3, 2, 2, 0, 2, 2, 0, 1, 3],
+        [0, 1, 2, 1, 0, 3, 3, 2, 2, 3, 2, 1, 2, 1, 3, 2],
+    ],
+    np.int64,
+)
+_PRS_H = np.concatenate([_PRS_H16, _PRS_H16], axis=1)  # (4, 32)
+
+# (k', i, n) per 32-carrier block (EN 300 401 Table 44, mode I)
+PRS_TABLE = (
+    (-768, 0, 1), (-736, 1, 2), (-704, 2, 0), (-672, 3, 1),
+    (-640, 0, 3), (-608, 1, 2), (-576, 2, 2), (-544, 3, 3),
+    (-512, 0, 2), (-480, 1, 1), (-448, 2, 2), (-416, 3, 3),
+    (-384, 0, 1), (-352, 1, 2), (-320, 2, 3), (-288, 3, 3),
+    (-256, 0, 2), (-224, 1, 2), (-192, 2, 2), (-160, 3, 1),
+    (-128, 0, 1), (-96, 1, 3), (-64, 2, 1), (-32, 3, 2),
+    (1, 0, 3), (33, 3, 1), (65, 2, 1), (97, 1, 1),
+    (129, 0, 2), (161, 3, 2), (193, 2, 1), (225, 1, 0),
+    (257, 0, 2), (289, 3, 2), (321, 2, 3), (353, 1, 3),
+    (385, 0, 0), (417, 3, 2), (449, 2, 1), (481, 1, 3),
+    (513, 0, 3), (545, 3, 3), (577, 2, 3), (609, 1, 0),
+    (641, 0, 3), (673, 3, 0), (705, 2, 1), (737, 1, 1),
+)
+
+
+def prs_phase_for_carrier(k: int) -> float:
+    """ETSI mode-I PRS phase for carrier index k (-768..768, k != 0)."""
+    kp_idx = (k + 768) // 32 if k < 0 else 24 + (k - 1) // 32
+    kp, i, n = PRS_TABLE[kp_idx]
+    return float(np.pi / 2 * (_PRS_H[i, k - kp] + n))
+
+
+def prs_phases(carriers: np.ndarray | None = None) -> np.ndarray:
+    """PRS phases ordered like ``carriers`` (default: the ``_KS``
+    interleaved order used for the modulator/demodulator bins)."""
+    ks = _KS if carriers is None else np.asarray(carriers)
+    return np.array([prs_phase_for_carrier(int(k)) for k in ks], np.float64)
 
 
 def energy_dispersal(n_bits: int) -> np.ndarray:

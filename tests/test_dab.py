@@ -73,3 +73,41 @@ def test_crc16_ccitt():
     crc = crc16_ccitt(data)
     full = np.concatenate([data, [(crc >> (15 - i)) & 1 for i in range(16)]])
     assert crc16_ccitt(full) == 0
+
+
+class TestEtsiPrs:
+    def test_phase_grid_and_period(self):
+        from sdrtpu.decoders.dab import prs_phase_for_carrier, prs_phases
+
+        ks = np.concatenate([np.arange(-768, 0), np.arange(1, 769)])
+        ph = prs_phases(ks)
+        m = np.round(ph / (np.pi / 2)).astype(int)
+        assert np.allclose(ph, m * np.pi / 2)  # exact pi/2 grid
+        # h rows repeat with period 16 within each 32-carrier block
+        for b in range(48):
+            blk = m[b * 32 : (b + 1) * 32]
+            np.testing.assert_array_equal(blk[:16], blk[16:])
+
+    def test_first_block_values(self):
+        # k' = -768, i = 0, n = 1: phi/(pi/2) = (h0 + 1) mod-4 grid
+        from sdrtpu.decoders.dab import prs_phase_for_carrier
+
+        expect = [1, 3, 1, 1, 1, 1, 2, 2, 3, 1, 1, 1, 3, 3, 2, 2]
+        got = [
+            round(prs_phase_for_carrier(-768 + j) / (np.pi / 2)) % 4
+            for j in range(16)
+        ]
+        assert got == expect
+
+    def test_prs_autocorrelation_sharp(self):
+        """The ETSI PRS has an impulse-like time autocorrelation (it is
+        the sync/channel-estimation reference)."""
+        from sdrtpu.decoders.dab import FFT, _carrier_bins, _KS, prs_phases
+
+        spec = np.zeros(FFT, np.complex128)
+        spec[_carrier_bins(_KS)] = np.exp(1j * prs_phases())
+        t = np.fft.ifft(spec)
+        ac = np.fft.ifft(np.abs(np.fft.fft(t)) ** 2)
+        peak = np.abs(ac[0])
+        side = np.abs(ac[1:]).max()
+        assert side < 0.35 * peak
