@@ -148,3 +148,30 @@ class TestBenchmarkUtility:
         op = Fir(taps.low_pass(0.2, 0.1, 1.0), dtype=jnp.complex64)
         r = measure_op(op, (8192,), k_blocks=2, n_dispatch=2, reps=1)
         assert r["msps"] > 0 and r["backend"] == "cpu"
+
+
+class TestPresence:
+    def test_status_format_and_throttle(self):
+        from sdrtpu.apps.presence import PresencePublisher, format_frequency
+
+        assert format_frequency(98_500_000) == "98.5MHz"
+        assert format_frequency(7_074_000) == "7.074MHz"
+        assert format_frequency(144_500) == "144.5kHz"
+        got = []
+        p = PresencePublisher(sinks=[got.append])
+        assert p.update(98.5e6, "WFM", now=0.0)
+        assert got[-1]["details"] == "98.5MHz - WFM"
+        assert not p.update(98.5e6, "WFM", now=0.5)   # unchanged
+        assert not p.update(98.7e6, "WFM", now=0.5)   # throttled
+        assert p.update(98.7e6, "WFM", now=2.0)
+        assert len(got) == 2
+
+    def test_file_sink(self, tmp_path):
+        import json
+        from sdrtpu.apps.presence import PresencePublisher, file_sink
+
+        path = tmp_path / "presence.json"
+        p = PresencePublisher(sinks=[file_sink(str(path))])
+        p.update(14.074e6, "USB", now=0.0)
+        st = json.loads(path.read_text())
+        assert st["details"] == "14.074MHz - USB" and st["mode"] == "USB"
