@@ -186,6 +186,7 @@ class Receiver:
         spectrum_sink: Callable | None = None,
         baseband_sinks: list[Callable] | None = None,
         scan_batch: int = 1,
+        metrics=None,
     ):
         self.frontend = frontend
         m = frontend.block_multiple()
@@ -205,6 +206,14 @@ class Receiver:
         # time blocks).
         self.scan_batch = int(scan_batch)
         self._pending: list[np.ndarray] = []
+        # structured observability (SURVEY §5.5): input throughput +
+        # real-time factor, per-sink audio level gauges
+        self.metrics = metrics
+        self._thr = (
+            metrics.throughput("receiver.input", frontend.samplerate)
+            if metrics is not None
+            else None
+        )
 
         @jax.jit
         def _step(rstate, re, im):
@@ -228,6 +237,8 @@ class Receiver:
 
     def push(self, iq: np.ndarray) -> None:
         """Feed host IQ samples; dispatches as blocks/batches fill."""
+        if self._thr is not None:
+            self._thr.add(len(iq))
         for block in self.framer.push(np.asarray(iq, np.complex64)):
             if self.scan_batch <= 1:
                 self._dispatch(block)
@@ -254,6 +265,10 @@ class Receiver:
                 a = np.asarray(audios[name])
                 if batched:  # (K, ...) -> concatenate along time
                     a = np.concatenate(list(a), axis=-1)
+                if self.metrics is not None:
+                    self.metrics.gauge(f"audio.{name}.rms").set(
+                        float(np.sqrt(np.mean(np.square(a))))
+                    )
                 sink(a)
         if self.spectrum_sink is not None and spec is not None:
             s = np.asarray(spec)

@@ -175,3 +175,41 @@ class TestPresence:
         p.update(14.074e6, "USB", now=0.0)
         st = json.loads(path.read_text())
         assert st["details"] == "14.074MHz - USB" and st["mode"] == "USB"
+
+
+class TestMetrics:
+    def test_registry_snapshot(self):
+        from sdrtpu.metrics import MetricsRegistry
+
+        t = [0.0]
+        m = MetricsRegistry()
+        thr = m.throughput("in", samplerate=1e6, clock=lambda: t[0])
+        thr.add(500_000); t[0] = 0.25; thr.add(500_000)
+        assert thr.rate == 4e6 and thr.realtime_factor == 4.0
+        m.counter("frames").add(3)
+        m.gauge("snr_db").set(23.5)
+        snap = m.snapshot()
+        assert snap["counters"]["frames"] == 3
+        assert snap["gauges"]["snr_db"] == 23.5
+        assert snap["throughput"]["in"]["realtime_factor"] == 4.0
+        import json
+        json.loads(m.to_json())
+
+    def test_receiver_integration(self):
+        import numpy as np
+        from sdrtpu.apps.receiver import IQFrontend, Receiver, VfoConfig
+        from sdrtpu.metrics import MetricsRegistry
+
+        fs = 240_000.0
+        fe = IQFrontend(fs, vfos={"v0": VfoConfig(offset_hz=0.0, mode="nfm")},
+                        fft_size=256)
+        m = MetricsRegistry()
+        got = []
+        rx = Receiver(fe, audio_sinks={"v0": got.append}, metrics=m)
+        n = rx.block_len * 2
+        t = np.arange(n) / fs
+        iq = np.exp(1j * 2 * np.pi * 1000.0 * t).astype(np.complex64)
+        rx.push(iq)
+        snap = m.snapshot()
+        assert snap["throughput"]["receiver.input"]["total_samples"] == n
+        assert any(k.startswith("audio.v0") for k in snap["gauges"]) or got
