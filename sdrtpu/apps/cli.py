@@ -50,6 +50,8 @@ def main(argv=None) -> int:
     ap.add_argument("--fft-rate", type=float, default=20.0)
     ap.add_argument("--spectrum-out", default=None,
                     help="write waterfall dB frames to this .npy")
+    ap.add_argument("--waterfall-png", default=None,
+                    help="render the waterfall to this PNG")
     ap.add_argument("--config", default=None,
                     help="JSON receiver config (ConfigManager format); CLI "
                          "flags override its values")
@@ -112,6 +114,12 @@ def main(argv=None) -> int:
     if args.spectrum_out and spec_frames:
         np.save(args.spectrum_out, np.concatenate(spec_frames, axis=0))
         print(f"wrote {args.spectrum_out}", file=sys.stderr)
+    if args.waterfall_png and spec_frames:
+        from .waterfall import save_waterfall_png
+
+        save_waterfall_png(args.waterfall_png,
+                           np.concatenate(spec_frames, axis=0))
+        print(f"wrote {args.waterfall_png}", file=sys.stderr)
     return 0
 
 

@@ -181,3 +181,23 @@ class WaterfallView:
     def latest_raw(self) -> np.ndarray:
         """Most recent raw FFT line (scanner's ``acquireLatestFFT``)."""
         return self.raw[0]
+
+
+def save_waterfall_png(path: str, db_lines: np.ndarray,
+                       colormap: np.ndarray | None = None,
+                       wf_min: float = -70.0, wf_max: float = 0.0,
+                       width: int = 1024) -> None:
+    """Render dB frames to a PNG (the waterfall widget as a file).
+
+    The reference renders this texture live in the GUI
+    (``waterfall.cpp:944-956`` palette LUT); headless users get the same
+    image from recorded spectra.
+    """
+    from PIL import Image
+
+    lines = np.atleast_2d(np.asarray(db_lines, np.float32))
+    view = WaterfallView(lines.shape[1], height=lines.shape[0],
+                         view_width=width, wf_min=wf_min, wf_max=wf_max,
+                         colormap=colormap)
+    view.push(lines[::-1])  # oldest first so row 0 ends up newest
+    Image.fromarray(view.fb, "RGBA").save(path)

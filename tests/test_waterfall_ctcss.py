@@ -103,3 +103,18 @@ class TestResources:
 
         bp = BandPlan.load("res/bandplans/general.json")
         assert bp.lookup(98.5e6)
+
+
+class TestWaterfallPng:
+    def test_save_png(self, tmp_path):
+        import numpy as np
+        from sdrtpu.apps.waterfall import save_waterfall_png
+
+        rng = np.random.default_rng(0)
+        lines = rng.uniform(-80, -10, (40, 256)).astype(np.float32)
+        out = tmp_path / "wf.png"
+        save_waterfall_png(str(out), lines, width=128)
+        from PIL import Image
+
+        img = Image.open(out)
+        assert img.size == (128, 40) and img.mode == "RGBA"
