@@ -51,12 +51,14 @@ class TestConvert:
     def test_throughput(self, lib):
         # should beat 1 GB/s easily; just assert it's not pathological
         raw = RNG.integers(-32768, 32768, 2_000_000, dtype=np.int16).tobytes()
-        t0 = time.time()
+        # best-of-N per-iteration timing: robust to transient host load
+        # (the total-time version flaked when benches ran concurrently)
+        best = float("inf")
         for _ in range(10):
+            t0 = time.perf_counter()
             native.convert_to_planar(raw, "i16")
-        dt = time.time() - t0
-        rate = 10 * len(raw) / dt / 1e9
-        # generous floor: CI hosts share cores with concurrent compiles
+            best = min(best, time.perf_counter() - t0)
+        rate = len(raw) / best / 1e9
         assert rate > 0.15, f"conversion rate {rate:.2f} GB/s"
 
 
