@@ -18,9 +18,53 @@ import time
 
 import numpy as np
 
-from ..io import wav
+from ..io import smgui, wav
 from ..io.net import NetworkSource
 from ..io.server_protocol import SdrppServer
+
+
+class ServerMenu:
+    """Remote source menu (``server.cpp drawMenu`` + file/network menus).
+
+    Rendered over the SmGui draw-list protocol so a real SDR++
+    ``sdrpp_server_source`` client shows a working source panel: source
+    combo (force-synced, disabled while running), file path input, and
+    network ingest settings.
+    """
+
+    SOURCES = ["File", "Network"]
+
+    def __init__(self, state: dict):
+        self.state = state  # keys: source_id, path, listen_port, format, running
+
+    def draw(self, gui: smgui.SmGui) -> None:
+        st = self.state
+        if st.get("running"):
+            gui.begin_disabled()
+        gui.fill_width()
+        gui.force_sync()
+        changed, st["source_id"] = gui.combo(
+            "##sdrtpu_server_src_sel", st.get("source_id", 0), self.SOURCES
+        )
+        if st.get("source_id", 0) == 0:
+            gui.left_label("File")
+            gui.fill_width()
+            _, st["path"] = gui.input_text("##sdrtpu_file_path", st.get("path", ""))
+        else:
+            gui.left_label("Port")
+            gui.fill_width()
+            _, st["listen_port"] = gui.input_int(
+                "##sdrtpu_net_port", st.get("listen_port", 4950), 0, 0
+            )
+            gui.left_label("Sample type")
+            gui.fill_width()
+            formats = ["u8", "i16", "f32"]
+            fmt_id = formats.index(st.get("format", "i16"))
+            _, fmt_id = gui.combo("##sdrtpu_net_fmt", fmt_id, formats)
+            st["format"] = formats[fmt_id]
+        if st.get("running"):
+            gui.end_disabled()
+        gui.text(f"Samplerate: {st.get('samplerate', 0):.0f} S/s")
 
 
 def main(argv=None) -> int:
@@ -53,9 +97,21 @@ def main(argv=None) -> int:
         print(f"ingesting raw IQ on :{net_src.port}", file=sys.stderr, flush=True)
 
     tuned = {"freq": 0.0}
+    menu_state = {
+        "source_id": 0 if args.source == "file" else 1,
+        "path": args.input or "",
+        "listen_port": args.listen_port,
+        "format": args.format,
+        "samplerate": fs,
+        "running": False,
+    }
+    menu = smgui.RemoteMenu(ServerMenu(menu_state).draw)
     server = SdrppServer(
         args.addr, args.port, samplerate=fs,
         tune_callback=lambda f: tuned.update(freq=f),
+        start_callback=lambda: menu_state.update(running=True),
+        stop_callback=lambda: menu_state.update(running=False),
+        menu=menu,
     )
     print(f"listening on {args.addr}:{server.port}", file=sys.stderr, flush=True)
 

@@ -7,8 +7,9 @@ loop in ``core/src/server.cpp``:
     CommandHeader { u32 cmd; }
 
 Packet types and commands mirror the reference enums, so this server can
-feed an actual SDR++ ``sdrpp_server_source`` client with baseband (modulo
-the SmGui remote-UI blob, which we answer with an empty UI).
+feed an actual SDR++ ``sdrpp_server_source`` client with baseband AND a
+live remote UI: pass a :class:`~sdrtpu.io.smgui.RemoteMenu` and GET_UI /
+UI_ACTION round-trip real SmGui draw lists (``server.cpp:249-300``).
 
 The server streams PCM-scale-compressed baseband (``compression.py``)
 optionally wrapped in zstd, exactly like ``server.cpp:232-246``.
@@ -22,7 +23,7 @@ import threading
 
 import numpy as np
 
-from . import compression
+from . import compression, smgui
 
 # PacketType (server_protocol.h)
 PKT_COMMAND = 0
@@ -92,11 +93,13 @@ class SdrppServer:
         tune_callback=None,
         start_callback=None,
         stop_callback=None,
+        menu: "smgui.RemoteMenu | None" = None,
     ):
         self.samplerate = samplerate
         self.tune_callback = tune_callback
         self.start_callback = start_callback
         self.stop_callback = stop_callback
+        self.menu = menu
         self.running = False
         self.sample_type = compression.PCM_TYPE_I16
         self.use_compression = False
@@ -148,7 +151,31 @@ class SdrppServer:
 
     def _handle_command(self, conn, cmd, args):
         if cmd == CMD_GET_UI:
-            write_packet(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_GET_UI))
+            ui = self.menu.render() if self.menu else b""
+            write_packet(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_GET_UI) + ui)
+        elif cmd == CMD_UI_ACTION and len(args) >= 3:
+            # u8 sendback + diffId item + diffValue item (server.cpp:252-279)
+            sendback = bool(args[0])
+            try:
+                diff_id, off = smgui.load_item(args, 1)
+                diff_value, _ = smgui.load_item(args, off)
+            except (ValueError, IndexError, struct.error):
+                write_packet(conn, PKT_ERROR, struct.pack("<I", 1))
+                return
+            if diff_id.type != smgui.ELEM_STRING:
+                write_packet(conn, PKT_ERROR, struct.pack("<I", 1))
+                return
+            if self.menu is None:
+                if sendback:
+                    write_packet(
+                        conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_UI_ACTION)
+                    )
+                return
+            ui = self.menu.render(diff_id.s, diff_value)
+            if sendback:
+                write_packet(
+                    conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_UI_ACTION) + ui
+                )
         elif cmd == CMD_START:
             self.running = True
             if self.start_callback:
@@ -228,6 +255,44 @@ class SdrppClient:
 
     def set_compression(self, enabled: bool):
         self._command(CMD_SET_COMPRESSION, struct.pack("<I", int(enabled)))
+
+    def _await_ack(self, cmd: int, timeout: float = 5.0) -> bytes:
+        self._sock.settimeout(timeout)
+        try:
+            while True:
+                pkt = read_packet(self._sock)
+                if pkt is None:
+                    raise ConnectionError("server closed")
+                ptype, payload = pkt
+                if ptype == PKT_COMMAND_ACK and len(payload) >= 4:
+                    (acked,) = struct.unpack("<I", payload[:4])
+                    if acked == cmd:
+                        return payload[4:]
+        finally:
+            self._sock.settimeout(None)
+
+    def get_ui(self) -> "list[smgui.Widget]":
+        """Fetch and parse the server's remote menu (GET_UI round trip)."""
+        self._command(CMD_GET_UI)
+        return smgui.parse_widgets(self._await_ack(CMD_GET_UI))
+
+    def ui_action(
+        self, widget_label: str, value: "smgui.Elem", sendback: bool = True
+    ) -> "list[smgui.Widget] | None":
+        """Send a widget interaction diff; returns the re-rendered menu.
+
+        Mirrors ``sdrpp_server_client`` action packets: ``u8 sendback`` +
+        serialized (label, value) draw-list items.
+        """
+        payload = (
+            bytes([int(sendback)])
+            + smgui.store_item(smgui.Elem.string(widget_label))
+            + smgui.store_item(value)
+        )
+        self._command(CMD_UI_ACTION, payload)
+        if not sendback:
+            return None
+        return smgui.parse_widgets(self._await_ack(CMD_UI_ACTION))
 
     def get_samplerate(self) -> float:
         self._command(CMD_GET_SAMPLERATE)
