@@ -46,7 +46,7 @@ def main():
 
     import os
 
-    method = os.environ.get("SDRTPU_CHAN_METHOD", "xla-fused")
+    method = os.environ.get("SDRTPU_CHAN_METHOD", "auto")
     offsets = np.linspace(-4.0e6, 4.0e6, n_vfo)
     pipe = WbfmMultiVfoPipeline(offsets, fs_in, block_len,
                                 channelizer_method=method)

@@ -64,7 +64,9 @@ class WbfmMultiVfoPipeline(StreamOp):
             stereo=stereo,
             pilot_mode="normalized",
         )
-        self.audio_resamp = RationalResampler(if_rate, audio_rate)
+        # Audio is real stereo: resample in float32 (half the arithmetic
+        # and HBM traffic of the complex path).
+        self.audio_resamp = RationalResampler(if_rate, audio_rate, dtype=jnp.float32)
         # channels=1: scalar initial state broadcasts over the (2, C, n)
         # batched audio; it stabilizes to (2, C, 1) after the first block.
         self.deemph = Deemphasis(tau, audio_rate)
@@ -96,9 +98,6 @@ class WbfmMultiVfoPipeline(StreamOp):
         st = dict(state)
         st["chan"], y = self.channelizer(state["chan"], x)  # (C, n_if)
         st["demod"], (stereo, _) = self.demod(state["demod"], y)  # (2, C, n_if)
-        st["audio"], a = self.audio_resamp(
-            state["audio"], stereo.astype(jnp.complex64)
-        )
-        a = a.real  # (2, C, n_af)
+        st["audio"], a = self.audio_resamp(state["audio"], stereo)  # (2, C, n_af)
         st["deemph"], a = self.deemph(state["deemph"], a)
         return st, a

@@ -141,18 +141,78 @@ def correlate_valid_bank(x, taps_bank, stride: int = 1) -> jax.Array:
     return acc
 
 
+def _next_fft_len(n: int) -> int:
+    """Smallest 2^a (a>=4) >= n — XLA's fastest TPU FFT sizes."""
+    m = 16
+    while m < n:
+        m *= 2
+    return m
+
+
+def fft_correlate_valid(x: jax.Array, taps) -> jax.Array:
+    """`correlate_valid` (stride 1) via FFT overlap-save.
+
+    Same semantics as the shift-and-add path —
+    ``out[..., i] = sum_t x[..., i + t] * taps[t]`` — but computed as one
+    circular convolution per block: for long filters (e.g. the WFM pilot
+    bandpass, ~316 complex taps) the shift-and-add unroll costs O(n*T)
+    VPU work and dominates the whole demod chain; the FFT form is
+    O(n log n) and ~10x faster on TPU at T >= ~128.
+
+    Correlation = convolution with reversed taps, so out = IFFT(FFT(x_pad)
+    * FFT(reverse(taps)))[T-1 : T-1+span].  The tap spectrum is
+    precomputed on the host in float64 and folded in as an XLA constant.
+    """
+    taps = np.asarray(taps)
+    L = int(x.shape[-1])
+    T = int(taps.shape[0])
+    span = L - T + 1
+    nfft = _next_fft_len(L + T - 1)
+    hf = np.fft.fft(taps[::-1].astype(np.complex128), nfft)
+    complex_in = jnp.iscomplexobj(x)
+    complex_out = complex_in or np.iscomplexobj(taps)
+
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, nfft - L)]
+    if complex_in:
+        xf = jnp.fft.fft(jnp.pad(x, pad))
+    else:
+        # real input: rfft then extend to full spectrum only if taps are
+        # complex; otherwise stay in half-spectrum.
+        if not np.iscomplexobj(taps):
+            xf = jnp.fft.rfft(jnp.pad(x.astype(jnp.float32), pad))
+            hr = np.fft.rfft(taps[::-1].astype(np.float64), nfft)
+            y = jnp.fft.irfft(xf * jnp.asarray(hr.astype(np.complex64)), nfft)
+            return y[..., T - 1 : T - 1 + span]
+        xf = jnp.fft.fft(jnp.pad(x.astype(jnp.complex64), pad))
+    y = jnp.fft.ifft(xf * jnp.asarray(hf.astype(np.complex64)))
+    y = y[..., T - 1 : T - 1 + span]
+    if not complex_out:
+        y = y.real
+    return y
+
+
 class Fir(StreamOp):
     """Streaming FIR: state = last ``taps-1`` input samples.
 
     Matches ``dsp::filter::FIR`` (``core/src/dsp/filter/fir.h``): the first
     output of a fresh stream corresponds to a zero-filled history.
+
+    ``method``: "direct" (shift-and-add), "fft" (overlap-save circular
+    convolution), or "auto" (fft for >=128 taps — the crossover measured
+    on TPU v5e; direct below).
     """
 
-    def __init__(self, taps: np.ndarray, dtype=jnp.complex64):
+    _FFT_MIN_TAPS = 128
+
+    def __init__(self, taps: np.ndarray, dtype=jnp.complex64, method: str = "auto"):
         taps = np.asarray(taps)
         self.taps = taps  # host numpy: captured as an XLA constant at trace
         self.ntaps = int(taps.shape[0])
         self.dtype = dtype
+        assert method in ("auto", "direct", "fft")
+        if method == "auto":
+            method = "fft" if self.ntaps >= self._FFT_MIN_TAPS else "direct"
+        self.method = method
 
     def init_state(self):
         # Host numpy: complex arrays must not cross the host<->device
@@ -169,7 +229,11 @@ class Fir(StreamOp):
             jnp.asarray(state), x.shape[:-1] + (self.ntaps - 1,)
         )
         ext = jnp.concatenate([state, x], axis=-1)
-        y = correlate_valid(ext, self.taps)
+        if self.method == "fft":
+            y = fft_correlate_valid(ext, self.taps)
+            y = y.astype(self.dtype) if not jnp.iscomplexobj(y) else y
+        else:
+            y = correlate_valid(ext, self.taps)
         new_state = ext[..., x.shape[-1] :] if self.ntaps > 1 else state
         return new_state, y
 

@@ -109,3 +109,58 @@ class TestMultistageDecimator:
         y1 = run_stream(op, x, 4096)
         y2 = run_stream(op, x, 512)
         np.testing.assert_allclose(y1, y2, atol=1e-5)
+
+
+class TestFftFir:
+    def test_fft_matches_direct_complex_taps(self):
+        rng = np.random.default_rng(3)
+        taps = (rng.standard_normal(316) + 1j * rng.standard_normal(316)).astype(
+            np.complex64
+        )
+        x = (rng.standard_normal((8, 4096)) + 1j * rng.standard_normal((8, 4096))).astype(
+            np.complex64
+        )
+        from sdrtpu.kernels.fir import Fir
+
+        fd = Fir(taps, dtype=jnp.complex64, method="direct")
+        ff = Fir(taps, dtype=jnp.complex64, method="fft")
+        assert ff.method == "fft"
+        sd, yd = fd(fd.init_state(), jnp.asarray(x))
+        sf, yf = ff(ff.init_state(), jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yd), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(sf), np.asarray(sd), atol=1e-6)
+
+    def test_fft_matches_direct_real(self):
+        rng = np.random.default_rng(4)
+        taps = rng.standard_normal(237).astype(np.float32)
+        x = rng.standard_normal((2, 8, 2048)).astype(np.float32)
+        from sdrtpu.kernels.fir import Fir
+
+        fd = Fir(taps, dtype=jnp.float32, method="direct")
+        ff = Fir(taps, dtype=jnp.float32, method="fft")
+        sd, yd = fd(fd.init_state(), jnp.asarray(x))
+        sf, yf = ff(ff.init_state(), jnp.asarray(x))
+        assert yf.dtype == yd.dtype
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yd), atol=2e-3)
+
+    def test_fft_streaming_chunks_match_full(self):
+        rng = np.random.default_rng(5)
+        taps = (rng.standard_normal(200) + 1j * rng.standard_normal(200)).astype(
+            np.complex64
+        )
+        x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)).astype(
+            np.complex64
+        )
+        from sdrtpu.kernels.fir import Fir
+
+        f = Fir(taps, dtype=jnp.complex64, method="fft")
+        st = f.init_state()
+        st, full = f(st, jnp.asarray(x))
+        st = f.init_state()
+        parts = []
+        for i in range(0, len(x), 2048):
+            st, y = f(st, jnp.asarray(x[i : i + 2048]))
+            parts.append(np.asarray(y))
+        np.testing.assert_allclose(
+            np.concatenate(parts, axis=-1), np.asarray(full), atol=3e-3
+        )

@@ -187,3 +187,74 @@ class TestModulatedDecimator:
         got = np.concatenate(outs_n, axis=-1)
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got, ref, atol=3e-3 * scale)
+
+
+class TestFftDecimator:
+    """Frequency-domain channelizer front vs the time-domain modulated chain."""
+
+    def test_matches_modulated_chain_two_stage(self):
+        from sdrtpu.shard.channelizer import (
+            FftDecimatorChain,
+            ModulatedDecimatorChain,
+        )
+
+        fs = 10e6
+        n = 40000
+        offsets = np.array([-3e6, -1e6, 0.5e6, 2.75e6])
+        stages = [(make_taps(36), 8), (make_taps(95), 5)]
+        x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(
+            np.complex64
+        )
+
+        ref_op = ModulatedDecimatorChain(offsets, fs, stages, n)
+        st, ref = ref_op(ref_op.init_state(), jnp.asarray(x))
+        ref = np.asarray(ref)
+
+        fft_op = FftDecimatorChain(offsets, fs, stages, n)
+        st2, got = fft_op(fft_op.init_state(), jnp.asarray(x))
+        got = np.asarray(got)
+
+        assert got.shape == ref.shape
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=4e-3 * scale)
+
+    def test_streaming_chunks_match_full(self):
+        from sdrtpu.shard.channelizer import FftDecimatorChain
+
+        fs = 10e6
+        n = 40000
+        offsets = np.array([1.5e6, -2.5e6])
+        stages = [(make_taps(36), 8), (make_taps(95), 5)]
+        x = (
+            RNG.standard_normal(2 * n) + 1j * RNG.standard_normal(2 * n)
+        ).astype(np.complex64)
+
+        big = FftDecimatorChain(offsets, fs, stages, 2 * n)
+        st, full = big(big.init_state(), jnp.asarray(x))
+        full = np.asarray(full)
+
+        sm = FftDecimatorChain(offsets, fs, stages, n)
+        st = sm.init_state()
+        st, y1 = sm(st, jnp.asarray(x[:n]))
+        st, y2 = sm(st, jnp.asarray(x[n:]))
+        got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+        scale = np.abs(full).max()
+        np.testing.assert_allclose(got, full, atol=4e-3 * scale)
+
+    def test_full_channelizer_fft_method(self):
+        from sdrtpu.shard.channelizer import Channelizer
+
+        fs, f_if = 10_000_000.0, 250_000.0
+        offsets = np.array([-4e6, -1.2e6, 2e6])
+        n = 40000
+        cz_ref = Channelizer(offsets, fs, f_if, n, method="xla-fused")
+        cz_fft = Channelizer(offsets, fs, f_if, n, method="fft")
+        assert cz_fft.method == "fft"
+        x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(
+            np.complex64
+        )
+        _, ref = cz_ref(cz_ref.init_state(), jnp.asarray(x))
+        _, got = cz_fft(cz_fft.init_state(), jnp.asarray(x))
+        ref, got = np.asarray(ref), np.asarray(got)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=4e-3 * scale)
