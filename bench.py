@@ -42,7 +42,7 @@ def main():
     n_vfo = 8
     m = WbfmMultiVfoPipeline.block_multiple(fs_in)
     block_len = (500_000 // m) * m
-    K = 8  # blocks per dispatch
+    K = 32  # blocks per dispatch (steady-state scan; amortizes tunnel dispatch)
 
     import os
 
