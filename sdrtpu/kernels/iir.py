@@ -41,12 +41,32 @@ class Deemphasis(StreamOp):
 
     ``alpha = dt / (tau + dt)``; tau is 50e-6/75e-6 s (or 22e-6 for NFM).
     Works on real blocks shaped (..., n) — e.g. (2, n) stereo.
+
+    For audio-rate poles the impulse response ``alpha * a^k`` underflows
+    float32 within a few dozen samples, so the recurrence is evaluated as a
+    truncated-impulse FIR (one fused shift-and-add over T taps, exact to
+    float precision) plus an ``a^{n+1} * y0`` boundary term for the carry —
+    fully parallel, no scan.  Poles with memory longer than `_FIR_MAX_TAPS`
+    fall back to the associative scan.
     """
+
+    _FIR_EPS = 1e-9
+    _FIR_MAX_TAPS = 256
 
     def __init__(self, tau: float, samplerate: float, channels: int = 1):
         dt = 1.0 / float(samplerate)
         self.alpha = np.float32(dt / (float(tau) + dt))
         self.channels = channels
+        a = 1.0 - float(self.alpha)
+        T = int(np.ceil(np.log(self._FIR_EPS) / np.log(a))) if a > 0 else 1
+        if T <= self._FIR_MAX_TAPS:
+            k = np.arange(T, dtype=np.float64)
+            # correlate_valid orientation: out[n] = sum_t ext[n+t]*h[t]
+            # with ext = [T-1 zeros ++ x]; h[t] = alpha * a^(T-1-t).
+            self._fir = (float(self.alpha) * a ** (T - 1 - k)).astype(np.float32)
+            self._ntaps = T
+        else:
+            self._fir = None
 
     def init_state(self):
         if self.channels == 1:
@@ -54,9 +74,24 @@ class Deemphasis(StreamOp):
         return np.zeros((self.channels, 1), np.float32)
 
     def __call__(self, state, x):
-        y = first_order_recurrence(
-            np.float32(1.0) - self.alpha, self.alpha * x, jnp.asarray(state)
-        )
+        state = jnp.asarray(state)
+        if self._fir is None:
+            y = first_order_recurrence(
+                np.float32(1.0) - self.alpha, self.alpha * x, state
+            )
+            return y[..., -1:], y
+        from .fir import correlate_valid
+
+        T = self._ntaps
+        n = x.shape[-1]
+        pad = [(0, 0)] * (x.ndim - 1) + [(T - 1, 0)]
+        y = correlate_valid(jnp.pad(x, pad), self._fir)
+        # carry term a^(n+1)*y0: nonzero only in the first T outputs
+        a = 1.0 - np.float64(self.alpha)
+        decay = np.zeros(n, np.float32)
+        m = min(T, n)
+        decay[:m] = (a ** (np.arange(m, dtype=np.float64) + 1.0)).astype(np.float32)
+        y = y + jnp.asarray(decay) * state
         # keepdims so the state broadcasts against any (..., n) batch shape
         return y[..., -1:], y
 

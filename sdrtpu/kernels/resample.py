@@ -141,12 +141,22 @@ class PolyphaseResampler(StreamOp):
 
         out[a, b] = sum_t bank[p_b, t] * ext[a*decim + off_b + t]
 
-    ``method="unrolled"`` (default, interp*tpp <= limit) emits those
-    interp*tpp AXPYs; ``method="gather"`` falls back to a frame gather +
-    einsum for very large banks.
+    Methods:
+
+    - ``"matmul"`` (default for interp*tpp > MATMUL_MIN): one MXU matmul.
+      Frame matrix ``F[a, j] = ext[a*decim + j]`` (built from R unit-stride
+      row slices of the polyphase layout, no gathers) times a host-built
+      window matrix ``G[j, b] = bank[p_b, t]`` at ``j = off_b + t`` gives
+      all ``interp`` phase columns of output group ``a`` in one contraction
+      — interp*tpp multiply-adds per output land on the MXU instead of
+      interp*tpp separate VPU AXPYs.
+    - ``"unrolled"`` — interp*tpp shift-and-add AXPYs (best for small
+      banks where the frame-matrix build would dominate).
+    - ``"gather"`` — frame gather + einsum, kept as a debugging fallback.
     """
 
     UNROLL_LIMIT = 8192
+    MATMUL_MIN = 256
 
     def __init__(
         self,
@@ -163,13 +173,21 @@ class PolyphaseResampler(StreamOp):
         self.taps_per_phase = bank.shape[1]
         self.bank = bank  # host numpy
         if method == "auto":
-            method = (
-                "unrolled"
-                if self.interp * self.taps_per_phase <= self.UNROLL_LIMIT
-                else "gather"
-            )
-        assert method in ("unrolled", "gather")
+            work = self.interp * self.taps_per_phase
+            method = "unrolled" if work <= self.MATMUL_MIN else "matmul"
+        assert method in ("unrolled", "gather", "matmul")
         self.method = method
+        if method == "matmul":
+            # G[j, b] = bank[p_b, t] at j = off_b + t (zero elsewhere).
+            L, M, tpp = self.interp, self.decim, self.taps_per_phase
+            R = 1 + -(-(tpp - 1) // M) if tpp > 1 else 1
+            G = np.zeros((R * M, L), np.float64)
+            for b in range(L):
+                p_b = (b * M) % L
+                off_b = (b * M) // L
+                G[off_b : off_b + tpp, b] = bank[p_b]
+            self._G = G.astype(np.float32)
+            self._R = R
 
     def init_state(self):
         return np.zeros((self.taps_per_phase - 1,), np.dtype(self.dtype))
@@ -188,7 +206,31 @@ class PolyphaseResampler(StreamOp):
             [jnp.broadcast_to(jnp.asarray(state), x.shape[:-1] + (tpp - 1,)), x.astype(self.dtype)],
             axis=-1,
         )
-        if self.method == "unrolled":
+        if self.method == "matmul":
+            A = n_out // L
+            R = self._R
+            rows = A + R - 1
+            xp = jnp.pad(
+                ext, [(0, 0)] * (ext.ndim - 1) + [(0, rows * M - ext.shape[-1])]
+            )
+            xr = xp.reshape(ext.shape[:-1] + (rows, M))
+            # F[..., a, :] = ext[a*M : a*M + R*M] from R unit-stride slices
+            F = jnp.concatenate(
+                [
+                    jax.lax.dynamic_slice_in_dim(xr, q, A, axis=-2)
+                    for q in range(R)
+                ],
+                axis=-1,
+            )  # (..., A, R*M)
+            G = jnp.asarray(self._G)
+            if jnp.iscomplexobj(ext):
+                yr = jnp.einsum("...aw,wb->...ab", F.real, G)
+                yi = jnp.einsum("...aw,wb->...ab", F.imag, G)
+                y = jax.lax.complex(yr, yi)
+            else:
+                y = jnp.einsum("...aw,wb->...ab", F, G)
+            y = y.reshape(ext.shape[:-1] + (n_out,)).astype(ext.dtype)
+        elif self.method == "unrolled":
             A = n_out // L
             # Shared polyphase layout: x[a*M + s] = xt[s % M, a + s // M]
             # with one reshape+transpose; every tap is a unit-stride slice
@@ -241,12 +283,20 @@ class PolyphaseResampler(StreamOp):
 class RationalResampler(StreamOp):
     """Arbitrary rate conversion with automatic staging.
 
-    Planner (vs ``rational_resampler.h:120-165``): extract the largest
-    integer factor ``d`` of round(in) with ``in/d >= out`` integral-friendly
-    (multistage `IntegerDecimator`), then a gcd-reduced polyphase stage with
-    the reference's prototype design: Nuttall lowpass at min(in,out)/2,
+    Planner (vs ``rational_resampler.h:120-165``): single-stage gcd-reduced
+    polyphase when the MXU frame matrix stays narrow (one matmul replaces
+    the whole cascade — measured 8x faster than predecim+polyphase for
+    250k->48k, and the 9500-tap prototype is a *sharper* filter), else the
+    largest integer pre-decimation ``d`` with ``in/d >= out`` integral
+    (multistage `IntegerDecimator`) followed by the reduced polyphase.
+    Prototype design per the reference: Nuttall lowpass at min(in,out)/2,
     10% transition, scaled by interp.
     """
+
+    # Max frame-matrix width (decim + taps_per_phase) for a single-stage
+    # polyphase plan; beyond this the frame matrix's HBM footprint exceeds
+    # the cascade's cost.
+    SINGLE_STAGE_MAX_W = 2048
 
     def __init__(
         self,
@@ -266,6 +316,18 @@ class RationalResampler(StreamOp):
         d = int_sr // out_sr
         while d > 1 and int_sr % d != 0:
             d -= 1
+
+        # Single-stage plan: no predecim if the polyphase frame matrix is
+        # narrow enough for one matmul.
+        if d > 1 and int_sr != out_sr:
+            g1 = math.gcd(int_sr, out_sr)
+            L1, M1 = out_sr // g1, int_sr // g1
+            if L1 > 1:
+                bw1 = min(in_samplerate, out_samplerate) / 2.0
+                taps1 = tapsmod.low_pass(bw1, bw1 * 0.1, int_sr * L1)
+                tpp1 = -(-len(taps1) // L1)
+                if M1 + tpp1 <= self.SINGLE_STAGE_MAX_W:
+                    d = 1
         mid_sr = int_sr // d if d > 1 else int_sr
 
         g = math.gcd(mid_sr, out_sr)

@@ -81,17 +81,26 @@ class TestPolyphase:
 
 class TestRationalResampler:
     def test_plan_250k_to_48k(self):
-        # Integer factor 5 first (250k -> 50k), then 50k -> 48k polyphase.
+        # Single-stage gcd-reduced polyphase (24/125) as one MXU matmul —
+        # the planner prefers it over predecim-5 + 24/25 when the frame
+        # matrix stays narrow (8x faster measured on TPU v5e).
         op = RationalResampler(250000.0, 48000.0)
-        assert op.predecim is not None and op.predecim.ratio == 5
-        assert op.interp == 24 and op.decim == 25
+        assert op.predecim is None
+        assert op.interp == 24 and op.decim == 125
+        assert op.resamp.method == "matmul"
         assert op.rate_error_pct < 0.01
 
     def test_plan_2p4m_to_250k(self):
         op = RationalResampler(2400000.0, 250000.0)
-        assert op.predecim is not None and op.predecim.ratio == 8
-        assert op.interp == 5 and op.decim == 6
+        assert op.predecim is None
+        assert op.interp == 5 and op.decim == 48
         assert op.rate_error_pct < 0.01
+
+    def test_plan_wide_ratio_keeps_predecim(self):
+        # 2.4M -> 48k is a pure integer ratio: predecim only.
+        op = RationalResampler(2400000.0, 48000.0)
+        assert op.predecim is not None and op.predecim.ratio == 50
+        assert op.resamp is None
 
     def test_plan_exact_integer(self):
         # 10 Msps -> 250 ksps is the pure-integer case: no polyphase stage.
