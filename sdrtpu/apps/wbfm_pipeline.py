@@ -58,15 +58,25 @@ class WbfmMultiVfoPipeline(StreamOp):
             self.offsets, in_samplerate, if_rate, block_len,
             method=channelizer_method,
         )
+        # The 15 kHz audio lowpass (`BroadcastFm(low_pass=True)`'s two
+        # 237-tap FIRs, ~0.06 ms/block) is folded into the audio
+        # resampler's polyphase prototype instead: passband 15 kHz,
+        # stopband at the 19 kHz pilot.  The polyphase matmul's cost is
+        # independent of prototype length, so the combined filter is free
+        # and sharper than the reference's cascade (lpf -> resampler).
         self.demod = BroadcastFm(
             deviation=deviation,
             samplerate=if_rate,
             stereo=stereo,
+            low_pass=False,
             pilot_mode="normalized",
         )
         # Audio is real stereo: resample in float32 (half the arithmetic
         # and HBM traffic of the complex path).
-        self.audio_resamp = RationalResampler(if_rate, audio_rate, dtype=jnp.float32)
+        self.audio_resamp = RationalResampler(
+            if_rate, audio_rate, dtype=jnp.float32,
+            bw=15000.0, trans_bw=4000.0,
+        )
         # channels=1: scalar initial state broadcasts over the (2, C, n)
         # batched audio; it stabilizes to (2, C, 1) after the first block.
         self.deemph = Deemphasis(tau, audio_rate)

@@ -303,10 +303,20 @@ class RationalResampler(StreamOp):
         in_samplerate: float,
         out_samplerate: float,
         dtype=jnp.complex64,
+        bw: float | None = None,
+        trans_bw: float | None = None,
     ):
+        """``bw``/``trans_bw`` override the prototype passband edge and
+        transition width (defaults: min(in,out)/2 and 10% of that).  Use
+        them to fold an adjacent channel/audio lowpass into the resampler
+        — the polyphase matmul's cost is nearly independent of filter
+        length, so a combined filter is free (e.g. the WFM pipeline folds
+        its 15 kHz audio LPF here and drops two 237-tap FIRs)."""
         self.in_samplerate = float(in_samplerate)
         self.out_samplerate = float(out_samplerate)
         self.dtype = dtype
+        self._bw = bw
+        self._trans = trans_bw
 
         int_sr = round(in_samplerate)
         out_sr = round(out_samplerate)
@@ -323,8 +333,8 @@ class RationalResampler(StreamOp):
             g1 = math.gcd(int_sr, out_sr)
             L1, M1 = out_sr // g1, int_sr // g1
             if L1 > 1:
-                bw1 = min(in_samplerate, out_samplerate) / 2.0
-                taps1 = tapsmod.low_pass(bw1, bw1 * 0.1, int_sr * L1)
+                bw1 = bw if bw is not None else min(in_samplerate, out_samplerate) / 2.0
+                taps1 = tapsmod.low_pass(bw1, trans_bw or bw1 * 0.1, int_sr * L1)
                 tpp1 = -(-len(taps1) // L1)
                 if M1 + tpp1 <= self.SINGLE_STAGE_MAX_W:
                     d = 1
@@ -340,7 +350,10 @@ class RationalResampler(StreamOp):
         )
 
         self.predecim = (
-            IntegerDecimator(in_samplerate, d, dtype, out_bw=0.4 * out_samplerate)
+            IntegerDecimator(
+                in_samplerate, d, dtype,
+                out_bw=bw if bw is not None else 0.4 * out_samplerate,
+            )
             if d > 1
             else None
         )
@@ -348,8 +361,8 @@ class RationalResampler(StreamOp):
         self.decim = decim
         if interp != decim:
             tap_sr = mid_sr * interp
-            bw = min(in_samplerate, out_samplerate) / 2.0
-            rtaps = tapsmod.low_pass(bw, bw * 0.1, tap_sr) * np.float32(interp)
+            pbw = bw if bw is not None else min(in_samplerate, out_samplerate) / 2.0
+            rtaps = tapsmod.low_pass(pbw, trans_bw or pbw * 0.1, tap_sr) * np.float32(interp)
             self.resamp = PolyphaseResampler(interp, decim, rtaps, dtype)
         else:
             self.resamp = None

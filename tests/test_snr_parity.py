@@ -98,3 +98,56 @@ def test_wfm_stereo_separation_floor():
 
         sep = 10 * np.log10(tone_power(out[0], 1000) / tone_power(out[0], 2500))
         assert sep > 40.0, f"{mode}: separation {sep:.1f} dB"
+
+
+def test_wbfm_multi_vfo_pipeline_quality():
+    """End-to-end quality floor for the flagship bench pipeline.
+
+    Three stereo FM stations at 10 Msps through the default (FFT)
+    channelizer -> BroadcastFm -> audio resampler with the 15 kHz audio
+    LPF folded into its polyphase prototype.  Guards the whole bench.py
+    path: channelization crosstalk, pilot recovery, stereo matrix, and
+    the folded filter's passband/stopband.
+    """
+    from sdrtpu.apps.wbfm_pipeline import WbfmMultiVfoPipeline
+
+    fs_in = 10_000_000.0
+    m = WbfmMultiVfoPipeline.block_multiple(fs_in)
+    block_len = (500_000 // m) * m
+    n_blocks = 2
+    n = block_len * n_blocks
+    t = np.arange(n) / fs_in
+    offsets = np.array([-3.0e6, 0.4e6, 3.2e6])
+    tones = [(1000.0, 2500.0), (800.0, 1900.0), (1200.0, 3100.0)]
+    x = np.zeros(n, np.complex64)
+    rng = np.random.default_rng(7)
+    for fc, (fl, fr) in zip(offsets, tones):
+        L = 0.8 * np.sin(2 * np.pi * fl * t)
+        R = 0.8 * np.sin(2 * np.pi * fr * t)
+        mpx = (0.45 * (L + R) + 0.1 * np.sin(2 * np.pi * 19000.0 * t)
+               + 0.45 * (L - R) * np.sin(2 * np.pi * 38000.0 * t))
+        ph = np.cumsum(2 * np.pi * 75000.0 * mpx / fs_in)
+        x += (0.5 * np.exp(1j * (2 * np.pi * fc * t + ph))).astype(np.complex64)
+
+    pipe = WbfmMultiVfoPipeline(offsets, fs_in, block_len)
+    st = pipe.init_state()
+    outs = []
+    for b in range(n_blocks):
+        st, a = pipe(st, jnp.asarray(x[b * block_len : (b + 1) * block_len]))
+        outs.append(np.asarray(a))
+    audio = np.concatenate(outs, axis=-1)  # (2, C, n_af)
+    fs_af = 48000.0
+    audio = audio[..., 2000:]
+
+    def tone_power(sig, f):
+        spec = np.abs(np.fft.rfft(sig * np.hanning(len(sig)))) ** 2
+        fr = np.fft.rfftfreq(len(sig), 1 / fs_af)
+        return spec[(fr > f - 100) & (fr < f + 100)].sum()
+
+    for c, (fl, fr) in enumerate(tones):
+        sep_l = 10 * np.log10(tone_power(audio[0, c], fl) / tone_power(audio[0, c], fr))
+        sep_r = 10 * np.log10(tone_power(audio[1, c], fr) / tone_power(audio[1, c], fl))
+        s = sinad_db(audio[0, c], fl, fs_af, skip=0)
+        assert sep_l > 25.0, f"ch{c}: L separation {sep_l:.1f} dB"
+        assert sep_r > 25.0, f"ch{c}: R separation {sep_r:.1f} dB"
+        assert s > 25.0, f"ch{c}: SINAD {s:.1f} dB"
