@@ -311,12 +311,19 @@ class FftDecimatorChain(StreamOp):
         x = x.astype(jnp.complex64)
         ext = jnp.concatenate([jnp.asarray(state["tail"]), x])
         new_tail = ext[n:]
-        chunks = jnp.stack(
-            [
-                jax.lax.dynamic_slice_in_dim(ext, p * self.valid, self.nfft)
-                for p in range(self.n_chunks)
-            ]
-        )  # (P, nfft)
+        # Overlapping chunks WITHOUT a P-way slice/stack (125 small copies
+        # cost ~30% of the whole op): reshape to rows of `valid` and
+        # concatenate Q row-shifted views, so chunk p = ext[p*valid :
+        # p*valid+nfft] comes from Q unit-stride slices total.
+        P, V, F = self.n_chunks, self.valid, self.nfft
+        Q = -(-F // V)  # rows spanned by one chunk
+        rows_n = P + Q - 1
+        xp = jnp.pad(ext, (0, rows_n * V - ext.shape[-1]))
+        rows = xp.reshape(rows_n, V)
+        chunks = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(rows, q, P, axis=0) for q in range(Q)],
+            axis=-1,
+        )[:, :F]  # (P, nfft)
         X = jnp.fft.fft(chunks)
         Xr = X.reshape(self.n_chunks, self.ratio, self.nif)
         hf = jnp.asarray(state["hf"])  # (C, R, nif)
