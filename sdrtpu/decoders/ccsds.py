@@ -136,3 +136,29 @@ class CcsdsDeframer:
             else:
                 i += 1
         return new
+
+
+def deframe_qpsk_symbols(symbols: np.ndarray, deframer: CcsdsDeframer | None = None):
+    """Resolve the QPSK lock ambiguity and deframe complex soft symbols.
+
+    A 4th-order Costas loop (`kernels/psk.py` `MeteorDemod`) locks at any
+    of 4 rotations; the ASM search in `CcsdsDeframer` absorbs the 180°
+    pair (inverted sync), so two candidate streams remain: direct
+    (I=even bits, Q=odd) and the 90° rotation (I/Q swapped, one branch
+    negated).  Try both and return frames from whichever syncs — the
+    receiver-side completion of the reference chain, whose `.s` files are
+    resolved by the downstream LRPT image decoder instead
+    (``decoder_modules/meteor_demodulator/src/main.cpp:193-224``).
+
+    Returns (frames, deframer) — the deframer keeps RS statistics.
+    """
+    symbols = np.asarray(symbols)
+    for rot in (symbols, symbols * np.exp(-1j * np.pi / 2)):
+        soft = np.empty(2 * len(rot), np.float32)
+        soft[0::2] = rot.real
+        soft[1::2] = rot.imag
+        d = deframer or CcsdsDeframer()
+        frames = d.process(soft)
+        if frames:
+            return frames, d
+    return [], deframer or CcsdsDeframer()

@@ -57,3 +57,55 @@ def test_meteor_symbol_path():
     frames = dec.process(rec)
     assert len(frames) == 1
     np.testing.assert_array_equal(frames[0], cv)
+
+
+def test_meteor_rf_end_to_end():
+    """Config 4 fully end-to-end: RF IQ -> MeteorDemod -> s8 soft symbols
+    -> ambiguity-resolved deframe -> recovered CVCDU payload bytes."""
+    import jax.numpy as jnp
+    import scipy.signal as sig
+
+    from sdrtpu.decoders.ccsds import deframe_qpsk_symbols
+    from sdrtpu.io.symbols import dequantize_soft, quantize_soft
+    from sdrtpu.kernels.psk import MeteorDemod
+    from sdrtpu.kernels import taps as tapsmod
+
+    rng = np.random.default_rng(99)
+    cvs = [rng.integers(0, 256, CVCDU_BYTES).astype(np.uint8) for _ in range(3)]
+    soft_bits = CcsdsEncoder().encode(cvs)
+    syms = (soft_bits[0::2] + 1j * soft_bits[1::2]).astype(np.complex128) / np.sqrt(2)
+    # settle preamble for AGC/Costas/MM lock
+    pre = np.exp(1j * (rng.integers(0, 4, 3000) * np.pi / 2 + np.pi / 4))
+    tx = np.concatenate([pre, syms])
+
+    # 72 ksym at 150 ksps (sps = 25/12), RRC beta=0.6 like the reference
+    up = np.zeros(len(tx) * 25, np.complex128)
+    up[::25] = tx
+    h = tapsmod.root_raised_cosine_rate(251, 0.6, 1.0, 25.0).astype(np.float64)
+    shaped = np.convolve(up, h, "same") * 25
+    x = sig.resample_poly(shaped, 1, 12).astype(np.complex64)
+
+    # channel: phase + 100 Hz offset + noise
+    fs = 150000.0
+    n = len(x)
+    x = x * np.exp(1j * (0.7 + 2 * np.pi * 100.0 * np.arange(n) / fs)).astype(
+        np.complex64
+    )
+    x = x + (0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))).astype(
+        np.complex64
+    )
+
+    d = MeteorDemod()
+    st, (out, valid) = d(d.init_state(), jnp.asarray(x))
+    got = np.asarray(out)[np.asarray(valid)]
+
+    # reference-parity soft path: s8 quantization at x84 (meteor main.cpp:198)
+    s8 = quantize_soft(got)
+    soft_syms = dequantize_soft(s8)
+
+    frames, dec = deframe_qpsk_symbols(soft_syms)
+    assert len(frames) >= 2, f"only {len(frames)} frames decoded"
+    matched = sum(
+        any(np.array_equal(f, cv) for cv in cvs) for f in frames
+    )
+    assert matched >= 2, f"only {matched} frames matched payload"
