@@ -38,16 +38,18 @@ def main():
     from sdrtpu.apps.wbfm_pipeline import WbfmMultiVfoPipeline
     from sdrtpu.graph.compile import complexify, realify
 
-    fs_in = 10_000_000.0
-    n_vfo = 8
+    # Defaults are the BASELINE primary config (8 VFOs off 10 Msps);
+    # SDRTPU_BENCH_FS / SDRTPU_BENCH_NVFO / SDRTPU_BENCH_K reproduce the
+    # wideband variants (e.g. FS=50e6 NVFO=64 K=64 -> the 64-VFO scan).
+    fs_in = float(os.environ.get("SDRTPU_BENCH_FS", 10_000_000.0))
+    n_vfo = int(os.environ.get("SDRTPU_BENCH_NVFO", 8))
     m = WbfmMultiVfoPipeline.block_multiple(fs_in)
-    block_len = (500_000 // m) * m
-    K = 256  # blocks per dispatch (steady-state scan; amortizes tunnel dispatch)
-
-    import os
+    block_len = (max(500_000, int(fs_in / 20)) // m) * m
+    # blocks per dispatch (steady-state scan; amortizes tunnel dispatch)
+    K = int(os.environ.get("SDRTPU_BENCH_K", 256))
 
     method = os.environ.get("SDRTPU_CHAN_METHOD", "auto")
-    offsets = np.linspace(-4.0e6, 4.0e6, n_vfo)
+    offsets = np.linspace(-0.4 * fs_in, 0.4 * fs_in, n_vfo)
     pipe = WbfmMultiVfoPipeline(offsets, fs_in, block_len,
                                 channelizer_method=method)
     log(f"channelizer method: {pipe.channelizer.method}")
