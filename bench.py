@@ -50,8 +50,12 @@ def main():
 
     method = os.environ.get("SDRTPU_CHAN_METHOD", "auto")
     offsets = np.linspace(-0.4 * fs_in, 0.4 * fs_in, n_vfo)
+    # spectrum=True: the waterfall FFT branch (65536 bins @ 20 Hz) runs
+    # beside the VFOs, as the reference front end always does.
+    spectrum = block_len % round(fs_in / 20.0) == 0
     pipe = WbfmMultiVfoPipeline(offsets, fs_in, block_len,
-                                channelizer_method=method)
+                                channelizer_method=method,
+                                spectrum=spectrum)
     log(f"channelizer method: {pipe.channelizer.method}")
     log(f"devices: {jax.devices()}")
     log(f"block_len={block_len} (quantum {m}), K={K}, n_vfo={n_vfo}")
@@ -76,8 +80,13 @@ def main():
     im = jax.device_put(x.imag.astype(np.float32))
 
     def single(rstate, re1, im1):
-        st, audio = pipe(complexify(rstate), jax.lax.complex(re1, im1))
-        return realify(st), audio
+        st, out = pipe(complexify(rstate), jax.lax.complex(re1, im1))
+        audio = out[0] if spectrum else out
+        # waterfall frames ride along as a per-block max (full (F, 65536)
+        # arrays stacked over K=256 would be pure output-buffer traffic;
+        # a real receiver fetches the latest frame per refresh tick)
+        wf = jnp.max(out[1]) if spectrum else jnp.float32(0)
+        return realify(st), (audio, wf)
 
     # Warmup call stabilizes broadcastable state leaf shapes for the scan.
     warm = jax.jit(single)
@@ -89,19 +98,22 @@ def main():
     @jax.jit
     def multi(rstate):
         def body(rst, _):
-            rst, audio = single(rst, re, im)
-            return rst, audio
+            rst, out = single(rst, re, im)
+            return rst, out
 
         return jax.lax.scan(body, rstate, None, length=K)
 
     t0 = time.time()
-    rstate, audio = multi(rstate)
+    rstate, (audio, wf) = multi(rstate)
     jax.block_until_ready(audio)
-    log(f"scan compile+run: {time.time()-t0:.1f}s; audio {audio.shape}")
+    log(f"scan compile+run: {time.time()-t0:.1f}s; audio {audio.shape}; "
+        f"spectrum={'on' if spectrum else 'off'}")
 
-    # sanity: demodulated audio has energy
+    # sanity: demodulated audio has energy; waterfall saw signal
     a0 = np.asarray(audio[0])
     assert np.std(a0) > 1e-4, "no audio produced"
+    if spectrum:
+        assert float(jnp.max(wf)) > -80.0, "waterfall saw no signal"
 
     # Sustained: chain N dispatches through the state dependency and time
     # the whole sequence.  A host fetch of an on-device reduction forces
@@ -112,8 +124,8 @@ def main():
         n_disp = 8
         t0 = time.time()
         for _ in range(n_disp):
-            rstate, audio = multi(rstate)
-        probe = float(jnp.sum(audio))
+            rstate, (audio, wf) = multi(rstate)
+        probe = float(jnp.sum(audio)) + float(jnp.sum(wf))
         dt = time.time() - t0
         sps = n_disp * K * block_len / dt
         best = max(best, sps)

@@ -46,6 +46,9 @@ class WbfmMultiVfoPipeline(StreamOp):
         stereo: bool = True,
         tau: float = 50e-6,
         channelizer_method: str = "auto",
+        spectrum: bool = False,
+        fft_size: int = 65536,
+        fft_rate: float = 20.0,
     ):
         self.offsets = np.asarray(offsets_hz, np.float64)
         self.n_channels = len(self.offsets)
@@ -85,6 +88,18 @@ class WbfmMultiVfoPipeline(StreamOp):
             f"IF block {n_if} not a multiple of audio quantum "
             f"{self.audio_resamp.block_multiple()}"
         )
+        # Optional waterfall branch, matching the reference front end where
+        # the FFT path always runs beside the VFOs (iq_frontend.cpp:17-70,
+        # default 65536 bins @ 20 Hz per core.cpp:126-128).
+        self.spectrum = None
+        if spectrum:
+            from ..kernels.fftspec import SpectrumAnalyzer
+
+            self.spectrum = SpectrumAnalyzer(in_samplerate, fft_size, fft_rate)
+            assert block_len % self.spectrum.interval == 0, (
+                f"block {block_len} not a multiple of FFT interval "
+                f"{self.spectrum.interval}"
+            )
 
     @staticmethod
     def block_multiple(in_samplerate, if_rate=250000.0, audio_rate=48000.0) -> int:
@@ -110,4 +125,7 @@ class WbfmMultiVfoPipeline(StreamOp):
         st["demod"], (stereo, _) = self.demod(state["demod"], y)  # (2, C, n_if)
         st["audio"], a = self.audio_resamp(state["audio"], stereo)  # (2, C, n_af)
         st["deemph"], a = self.deemph(state["deemph"], a)
+        if self.spectrum is not None:
+            _, spec = self.spectrum((), x)  # (frames, fft_size) dB
+            return st, (a, spec)
         return st, a
