@@ -118,3 +118,38 @@ class TestWaterfallPng:
 
         img = Image.open(out)
         assert img.size == (128, 40) and img.mode == "RGBA"
+
+
+class TestThemeManager:
+    def test_bundled_themes_load(self):
+        from sdrtpu.apps.theme import ThemeManager
+
+        tm = ThemeManager()
+        n = tm.load_themes_from_dir("res/themes")
+        assert n >= 2
+        assert set(tm.get_theme_names()) >= {"Dark", "Light"}
+        thm = tm.apply("Dark")
+        assert thm.author == "sdrtpu"
+        r, g, b, a = thm.colors["Text"]
+        assert a == 1.0 and 0.0 <= r <= 1.0
+
+    def test_color_decode_and_errors(self, tmp_path):
+        import json
+        import pytest
+        from sdrtpu.apps.theme import ThemeManager, decode_color
+
+        assert decode_color("#FF000080") == (1.0, 0.0, 0.0, 128 / 255.0)
+        with pytest.raises(ValueError):
+            decode_color("#FFF")  # wrong length
+        tm = ThemeManager()
+        bad = tmp_path / "bad.json"
+        bad.write_text(json.dumps({"author": "x"}))  # missing name
+        with pytest.raises(ValueError):
+            tm.load_theme(str(bad))
+        dup = tmp_path / "dup.json"
+        dup.write_text(json.dumps({"name": "Same", "Text": "#00000000"}))
+        tm.load_theme(str(dup))
+        dup2 = tmp_path / "dup2.json"
+        dup2.write_text(json.dumps({"name": "Same"}))
+        with pytest.raises(ValueError):
+            tm.load_theme(str(dup2))
