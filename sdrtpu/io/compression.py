@@ -23,9 +23,73 @@ try:  # optional, matches the reference's optional zstd path
     import zstandard as _zstd
 
     HAVE_ZSTD = True
-except ImportError:  # pragma: no cover
+except ImportError:
     _zstd = None
     HAVE_ZSTD = False
+
+
+class _CtypesZstd:
+    """One-shot zstd via the system libzstd (ctypes).
+
+    The reference compresses each server packet independently with
+    ``ZSTD_compressCCtx`` (``server.cpp:232-246``); one-shot
+    compress/decompress is exactly that usage, so binding the C library
+    directly gives wire parity without the ``zstandard`` wheel.
+    """
+
+    def __init__(self):
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("zstd") or "libzstd.so.1"
+        lib = ctypes.CDLL(name)
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+        ]
+        lib.ZSTD_decompress.restype = ctypes.c_size_t
+        lib.ZSTD_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+        lib.ZSTD_getFrameContentSize.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        self._ct = ctypes
+        self._lib = lib
+
+    def compress(self, data: bytes, level: int = 1) -> bytes:
+        ct, lib = self._ct, self._lib
+        bound = lib.ZSTD_compressBound(len(data))
+        out = ct.create_string_buffer(bound)
+        n = lib.ZSTD_compress(out, bound, data, len(data), level)
+        if lib.ZSTD_isError(n):
+            raise RuntimeError("ZSTD_compress failed")
+        return out.raw[:n]
+
+    def decompress(self, data: bytes) -> bytes:
+        ct, lib = self._ct, self._lib
+        size = lib.ZSTD_getFrameContentSize(data, len(data))
+        if size in (2**64 - 1, 2**64 - 2):  # ERROR / UNKNOWN
+            raise RuntimeError("zstd frame without content size")
+        out = ct.create_string_buffer(int(size) or 1)
+        n = lib.ZSTD_decompress(out, int(size), data, len(data))
+        if lib.ZSTD_isError(n):
+            raise RuntimeError("ZSTD_decompress failed")
+        return out.raw[:n]
+
+
+if not HAVE_ZSTD:  # fall back to the system C library
+    try:
+        _ctz = _CtypesZstd()
+        HAVE_ZSTD = True
+    except OSError:  # pragma: no cover
+        _ctz = None
+else:
+    _ctz = None
 
 PCM_TYPE_I8 = 0
 PCM_TYPE_I16 = 1
@@ -70,12 +134,16 @@ def decompress(payload: bytes) -> np.ndarray:
 
 
 def zstd_compress(data: bytes, level: int = 1) -> bytes:
-    if not HAVE_ZSTD:
-        raise RuntimeError("zstandard module not available")
-    return _zstd.ZstdCompressor(level=level).compress(data)
+    if _zstd is not None:
+        return _zstd.ZstdCompressor(level=level).compress(data)
+    if _ctz is not None:
+        return _ctz.compress(data, level)
+    raise RuntimeError("no zstd available (zstandard module or libzstd)")
 
 
 def zstd_decompress(data: bytes) -> bytes:
-    if not HAVE_ZSTD:
-        raise RuntimeError("zstandard module not available")
-    return _zstd.ZstdDecompressor().decompress(data)
+    if _zstd is not None:
+        return _zstd.ZstdDecompressor().decompress(data)
+    if _ctz is not None:
+        return _ctz.decompress(data)
+    raise RuntimeError("no zstd available (zstandard module or libzstd)")

@@ -113,3 +113,25 @@ class TestServerProtocol:
         assert not server.running
         client.close()
         server.close()
+
+
+class TestZstd:
+    def test_zstd_roundtrip(self):
+        # libzstd via ctypes when the zstandard wheel is absent
+        assert compression.HAVE_ZSTD
+        data = (b"\x01\x02\x03\x04" * 4096) + b"tail"
+        z = compression.zstd_compress(data, level=1)
+        assert len(z) < len(data)
+        assert compression.zstd_decompress(z) == data
+
+    def test_zstd_wrapped_iq_payload(self):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        iq = (rng.standard_normal(2048) + 1j * rng.standard_normal(2048)).astype(
+            np.complex64
+        )
+        payload = compression.compress(iq, compression.PCM_TYPE_I16)
+        z = compression.zstd_compress(payload)
+        back = compression.decompress(compression.zstd_decompress(z))
+        assert np.max(np.abs(back - iq)) < 1e-3
