@@ -121,7 +121,7 @@ def main():
     # backend's async runtime).
     best = 0.0
     for _ in range(3):
-        n_disp = 8
+        n_disp = 32
         t0 = time.time()
         for _ in range(n_disp):
             rstate, (audio, wf) = multi(rstate)
