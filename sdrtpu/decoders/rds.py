@@ -12,7 +12,7 @@ Bit-level decoder (``decoder_modules/radio/src/rds.cpp``): 26-bit blocks
 with the RDS CRC (poly 0b0110111001, input poly 0b1100011011), offset words
 A/B/C/C'/D, +/-1 sync hysteresis (0..4), burst error correction via the
 syndrome LFSR trick, and group decoding for PI/PTY/TP plus group 0
-(program service name) and group 2 (RadioText).  Host Python — the bit
+(program service name), group 2 (RadioText), and group 10A (PTYN).  Host Python — the bit
 rate is 1187.5 bit/s.
 """
 
@@ -149,6 +149,8 @@ class RdsDecoder:
         self.ps_name = [" "] * 8
         self.radio_text = [" "] * 64
         self.rt_ab = False
+        self.ptn = [" "] * 8
+        self.ptn_ab = False
         self.group_ver = 0  # 0 = A, 1 = B
 
     def process(self, bits: np.ndarray) -> None:
@@ -230,6 +232,22 @@ class RdsDecoder:
                     d = self._data(BLOCK_D)
                     self.radio_text[base] = chr((d >> 8) & 0xFF)
                     self.radio_text[base + 1] = chr(d & 0xFF)
+        elif group_type == 10 and self.group_ver == 0:
+            # 10A: Program Type Name, 8 chars in two 4-char segments
+            # (reference `rds.cpp:360-398` decodeGroup10)
+            ab = bool((b >> 4) & 1)
+            if ab != self.ptn_ab:
+                self.ptn = [" "] * 8
+            self.ptn_ab = ab
+            base = 4 if (b & 1) else 0
+            if self.block_avail[BLOCK_C]:
+                c = self._data(BLOCK_C)
+                self.ptn[base] = chr((c >> 8) & 0xFF)
+                self.ptn[base + 1] = chr(c & 0xFF)
+            if self.block_avail[BLOCK_D]:
+                d = self._data(BLOCK_D)
+                self.ptn[base + 2] = chr((d >> 8) & 0xFF)
+                self.ptn[base + 3] = chr(d & 0xFF)
 
     @property
     def program_service_name(self) -> str:
@@ -238,6 +256,10 @@ class RdsDecoder:
     @property
     def radiotext(self) -> str:
         return "".join(self.radio_text)
+
+    @property
+    def program_type_name(self) -> str:
+        return "".join(self.ptn)
 
 
 def encode_group(pi: int, group_type: int, version: int, b_low: int,

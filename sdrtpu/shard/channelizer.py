@@ -252,7 +252,8 @@ class FftDecimatorChain(StreamOp):
     O(C * n log nfft / nfft-efficiency) instead of O(C * n * T).
     """
 
-    def __init__(self, offsets_hz, samplerate, stages, block_len):
+    def __init__(self, offsets_hz, samplerate, stages, block_len,
+                 sparse_thresh_db: float | None = None):
         offsets = np.asarray(offsets_hz, np.float64)
         self.n_channels = len(offsets)
         omega_p = -_TWO_PI * offsets / float(samplerate)  # (C,) mixer rate
@@ -284,6 +285,36 @@ class FftDecimatorChain(StreamOp):
         self._hf_folded = np.ascontiguousarray(
             hf.reshape(self.n_channels, R, self.nif)
         ).astype(np.complex64)
+        # Sparse fold (opt-in): each channel's filter spectrum H(f - f_c)
+        # is a narrowband lowpass shifted to f_c — of the R alias rows,
+        # only the few crossing its pass/transition band carry energy.
+        # Dropping rows whose peak is < sparse_thresh_db of the global
+        # peak changes the output by less than the filter's design
+        # stopband while cutting the fold's FLOPs by ~R/Rk (40 -> 9 for
+        # the WBFM 8-VFO plan).  Measured on TPU v5e this LOSES to the
+        # dense einsum (~25% slower): XLA lowers the row gather to a
+        # memory-bound general gather whose materialized (P, C, Rk, nif)
+        # intermediate outweighs the dense fold's single (P, R, nif)
+        # read.  Kept opt-in for backends with cheaper gathers; default
+        # (None) is the dense fold.
+        self._sparse = False
+        if sparse_thresh_db is None:
+            return
+        rowmax = np.abs(self._hf_folded).max(axis=2)  # (C, R)
+        thresh = rowmax.max() * 10.0 ** (sparse_thresh_db / 20.0)
+        keep = rowmax > thresh  # (C, R) bool
+        rk = int(keep.sum(axis=1).max())
+        self._sparse = 0 < rk <= R // 2
+        if self._sparse:
+            self.rk = rk
+            idx = np.zeros((self.n_channels, rk), np.int32)
+            hs = np.zeros((self.n_channels, rk, self.nif), np.complex64)
+            for c in range(self.n_channels):
+                rows = np.flatnonzero(keep[c])
+                idx[c, : len(rows)] = rows  # padding rows point at 0 with
+                hs[c, : len(rows)] = self._hf_folded[c, rows]  # zero taps
+            self._fold_idx = idx
+            self._hf_sparse = hs
         self.rot = MultiVfoMixer(-offsets, samplerate / R, n // R)
         # The taps are modulated over the PADDED index, adding a constant
         # e^{j w' (tpad - t_eq)} that the rotator phase must cancel:
@@ -295,11 +326,16 @@ class FftDecimatorChain(StreamOp):
     def init_state(self):
         rot = self.rot.init_state()
         rot["phase"] = self._phase0.copy()
-        return {
+        st = {
             "tail": np.zeros(self.tpad - 1, np.complex64),
-            "hf": self._hf_folded,  # sharded-constant-friendly (see module doc)
             "rot": rot,
         }
+        if self._sparse:
+            st["hf"] = self._hf_sparse  # (C, Rk, nif)
+            st["fold_idx"] = self._fold_idx  # (C, Rk) int32
+        else:
+            st["hf"] = self._hf_folded  # (C, R, nif)
+        return st
 
     def out_len(self, n: int) -> int:
         return n // self.ratio
@@ -326,15 +362,25 @@ class FftDecimatorChain(StreamOp):
         )[:, :F]  # (P, nfft)
         X = jnp.fft.fft(chunks)
         Xr = X.reshape(self.n_chunks, self.ratio, self.nif)
-        hf = jnp.asarray(state["hf"])  # (C, R, nif)
-        # fold: sum over the alias (R) axis of the pointwise product
-        S = jnp.einsum("prk,crk->cpk", Xr, hf) / self.ratio
+        hf = jnp.asarray(state["hf"])
+        if self._sparse:
+            # gather each channel's live alias rows, multiply-reduce over
+            # them: (P, C, Rk, nif) x (C, Rk, nif) -> (C, P, nif)
+            idx = jnp.asarray(state["fold_idx"])  # (C, Rk)
+            Xg = Xr[:, idx, :]  # (P, C, Rk, nif)
+            S = jnp.einsum("pcrk,crk->cpk", Xg, hf) / self.ratio
+        else:
+            # fold: sum over the alias (R) axis of the pointwise product
+            S = jnp.einsum("prk,crk->cpk", Xr, hf) / self.ratio
         y = jnp.fft.ifft(S)  # (C, P, nif)
         m0 = (self.tpad - 1) // self.ratio
         y = y[:, :, m0 : m0 + self.valid // self.ratio]
         y = y.reshape(self.n_channels, n // self.ratio)
         st_rot, y = self.rot(state["rot"], y)
-        return {"tail": new_tail, "hf": state["hf"], "rot": st_rot}, y
+        new_state = {"tail": new_tail, "hf": state["hf"], "rot": st_rot}
+        if self._sparse:
+            new_state["fold_idx"] = state["fold_idx"]
+        return new_state, y
 
 
 def _pallas_eligible(resampler: RationalResampler) -> bool:

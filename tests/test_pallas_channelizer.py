@@ -258,3 +258,44 @@ class TestFftDecimator:
         ref, got = np.asarray(ref), np.asarray(got)
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got, ref, atol=4e-3 * scale)
+
+    def test_sparse_fold_matches_dense(self):
+        """The -100 dB sparse alias-fold is numerically the dense fold.
+
+        Needs real (lowpass-designed) cascade taps: with random taps every
+        alias row carries energy and the sparse path correctly disables
+        itself (checked at the end).
+        """
+        from sdrtpu.kernels.resample import RationalResampler
+        from sdrtpu.shard.channelizer import FftDecimatorChain
+
+        fs = 10e6
+        n = 40000
+        # include edge offsets whose alias rows wrap around DC/Nyquist
+        offsets = np.array([-4.9e6, -2.2e6, 0.0, 1e5, 3.3e6, 4.9e6])
+        rr = RationalResampler(fs, 250e3)
+        stages = [
+            (np.asarray(s.taps), s.decimation) for s in rr.predecim.stages
+        ]
+        x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(
+            np.complex64
+        )
+        sparse = FftDecimatorChain(offsets, fs, stages, n,
+                                   sparse_thresh_db=-100.0)
+        dense = FftDecimatorChain(offsets, fs, stages, n)
+        assert sparse._sparse and not dense._sparse
+        assert sparse.rk < sparse.ratio // 2
+        _, a = sparse(sparse.init_state(), jnp.asarray(x))
+        _, b = dense(dense.init_state(), jnp.asarray(x))
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, atol=2e-4 * scale)
+
+    def test_random_taps_disable_sparse(self):
+        from sdrtpu.shard.channelizer import FftDecimatorChain
+
+        fs, n = 10e6, 40000
+        stages = [(make_taps(36), 8), (make_taps(95), 5)]
+        ch = FftDecimatorChain(np.array([1e6]), fs, stages, n,
+                               sparse_thresh_db=-100.0)
+        assert not ch._sparse  # white-spectrum taps keep every alias row

@@ -75,6 +75,18 @@ class TestGroupDecoding:
         self._feed(dec, groups * 2)
         assert dec.radiotext.startswith("HELLO FROM TPU RADIO!")
 
+    def test_program_type_name(self):
+        # group 10A: two 4-char segments (reference rds.cpp:360-398)
+        dec = RdsDecoder()
+        name = b"POP MUSC"
+        groups = []
+        for seg in range(2):
+            c = (name[seg * 4] << 8) | name[seg * 4 + 1]
+            d = (name[seg * 4 + 2] << 8) | name[seg * 4 + 3]
+            groups.append(encode_group(0xF00D, 10, 0, seg, c, d))
+        self._feed(dec, groups * 2)
+        assert dec.program_type_name == "POP MUSC"
+
 
 class TestRdsDemodChain:
     def test_bpsk_bits_recovered(self):
