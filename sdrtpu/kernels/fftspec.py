@@ -10,8 +10,9 @@ Framing math matches ``IQFrontEnd::genReshapeParams``
 (``iq_frontend.h:59-63``): per FFT interval ``round(fs/fft_rate)`` input
 samples, of which ``nz = min(interval, fft_size)`` are windowed (zero-padded
 to ``fft_size``) and the rest skipped.  The reference centers spectra by
-multiplying the window with (-1)^i (``iq_frontend.cpp:287-290``); we use an
-explicit ``fftshift``, which is identical for even sizes.
+multiplying the window with (-1)^i (``iq_frontend.cpp:287-290``); we do the
+same for even sizes (identical to fftshift, without the shift's copy pass)
+and fall back to an explicit ``fftshift`` for odd sizes.
 
 dB conversion: ``10*log10(|X|^2 / fft_size^2)`` — the same shape as VOLK's
 power-spectrum kernel with normalization ``fft_size``
@@ -87,7 +88,15 @@ class SpectrumAnalyzer(StreamOp):
         self.skip = skip
         self.nz_size = nz
         self.interval = skip + nz
-        self.window = periodic_window(window, nz).astype(np.float32)
+        # Fold the reference's (-1)^i centering trick
+        # (``iq_frontend.cpp:287-290``) into the window: for even fft_size
+        # it equals fftshift of the output spectrum, without the shift's
+        # gather/copy pass.
+        w = periodic_window(window, nz).astype(np.float64)
+        self._center_in_window = self.fft_size % 2 == 0
+        if self._center_in_window:
+            w *= (-1.0) ** np.arange(nz)
+        self.window = w.astype(np.float32)
 
     def init_state(self):
         return ()
@@ -108,7 +117,8 @@ class SpectrumAnalyzer(StreamOp):
             spec = four_step_fft(frames)
         else:
             spec = jnp.fft.fft(frames, axis=-1)
-        spec = jnp.fft.fftshift(spec, axes=-1)
+        if not self._center_in_window:  # odd sizes: explicit shift
+            spec = jnp.fft.fftshift(spec, axes=-1)
         power = spec.real**2 + spec.imag**2
         db = 10.0 * jnp.log10(power / np.float32(self.fft_size**2) + 1e-20)
         return state, db.astype(jnp.float32)
