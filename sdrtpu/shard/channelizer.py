@@ -298,13 +298,12 @@ class FftDecimatorChain(StreamOp):
         # read.  Kept opt-in for backends with cheaper gathers; default
         # (None) is the dense fold.
         self._sparse = False
-        if sparse_thresh_db is None:
-            return
-        rowmax = np.abs(self._hf_folded).max(axis=2)  # (C, R)
-        thresh = rowmax.max() * 10.0 ** (sparse_thresh_db / 20.0)
-        keep = rowmax > thresh  # (C, R) bool
-        rk = int(keep.sum(axis=1).max())
-        self._sparse = 0 < rk <= R // 2
+        if sparse_thresh_db is not None:
+            rowmax = np.abs(self._hf_folded).max(axis=2)  # (C, R)
+            thresh = rowmax.max() * 10.0 ** (sparse_thresh_db / 20.0)
+            keep = rowmax > thresh  # (C, R) bool
+            rk = int(keep.sum(axis=1).max())
+            self._sparse = 0 < rk <= R // 2
         if self._sparse:
             self.rk = rk
             idx = np.zeros((self.n_channels, rk), np.int32)
