@@ -20,7 +20,7 @@ import os
 import re
 from dataclasses import dataclass, field
 
-_HEX_RE = re.compile(r"^#[0-9A-Fa-f]{8}$")
+_HEX_RE = re.compile(r"#[0-9A-Fa-f]{8}")
 
 
 def decode_color(s: str) -> tuple[float, float, float, float]:
@@ -29,7 +29,7 @@ def decode_color(s: str) -> tuple[float, float, float, float]:
     Same wire format as the reference's decode loop
     (``theme_manager.cpp:97-118``).
     """
-    if not _HEX_RE.match(s):
+    if not _HEX_RE.fullmatch(s):  # fullmatch: '$' would admit '...\n'
         raise ValueError(f"invalid theme color {s!r} (expected #RRGGBBAA)")
     v = int(s[1:], 16)
     return tuple(((v >> sh) & 0xFF) / 255.0 for sh in (24, 16, 8, 0))
@@ -54,15 +54,24 @@ class ThemeManager:
         """Load every ``*.json`` in ``path``; returns number loaded.
 
         Mirrors ``ThemeManager::loadThemesFromDir``
-        (``theme_manager.cpp:8-38``): non-JSON files are skipped, individual
-        bad files are reported (raised here) rather than aborting the scan.
+        (``theme_manager.cpp:8-38``): the registry is cleared first (the
+        call is a refresh, re-runnable), non-JSON files are skipped, and a
+        bad file is logged and skipped rather than aborting the scan.
         """
+        import logging
+
+        self.themes.clear()
         n = 0
         for fn in sorted(os.listdir(path)):
             if not fn.endswith(".json"):
                 continue
-            self.load_theme(os.path.join(path, fn))
-            n += 1
+            try:
+                self.load_theme(os.path.join(path, fn))
+                n += 1
+            except (ValueError, OSError, json.JSONDecodeError) as e:
+                logging.getLogger(__name__).error(
+                    "skipping theme %s: %s", fn, e
+                )
         return n
 
     def load_theme(self, path: str) -> Theme:

@@ -70,11 +70,22 @@ class _CtypesZstd:
             raise RuntimeError("ZSTD_compress failed")
         return out.raw[:n]
 
+    # Ceiling on a frame's declared content size: the header is
+    # attacker-controlled network input (server protocol baseband
+    # packets), so never allocate what it claims unchecked.  Wire packets
+    # are <= a few MB; 256 MB leaves two orders of magnitude of headroom.
+    MAX_CONTENT = 256 * 1024 * 1024
+
     def decompress(self, data: bytes) -> bytes:
         ct, lib = self._ct, self._lib
         size = lib.ZSTD_getFrameContentSize(data, len(data))
         if size in (2**64 - 1, 2**64 - 2):  # ERROR / UNKNOWN
             raise RuntimeError("zstd frame without content size")
+        if int(size) > self.MAX_CONTENT:
+            raise RuntimeError(
+                f"zstd frame declares {int(size)} bytes "
+                f"(> {self.MAX_CONTENT} cap); refusing to allocate"
+            )
         out = ct.create_string_buffer(int(size) or 1)
         n = lib.ZSTD_decompress(out, int(size), data, len(data))
         if lib.ZSTD_isError(n):

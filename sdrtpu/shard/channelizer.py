@@ -314,6 +314,7 @@ class FftDecimatorChain(StreamOp):
                 hs[c, : len(rows)] = self._hf_folded[c, rows]  # zero taps
             self._fold_idx = idx
             self._hf_sparse = hs
+            del self._hf_folded  # dense table unused in sparse mode
         self.rot = MultiVfoMixer(-offsets, samplerate / R, n // R)
         # The taps are modulated over the PADDED index, adding a constant
         # e^{j w' (tpad - t_eq)} that the rotator phase must cancel:

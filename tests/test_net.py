@@ -124,6 +124,21 @@ class TestZstd:
         assert len(z) < len(data)
         assert compression.zstd_decompress(z) == data
 
+    def test_ctypes_fallback_directly(self):
+        # exercise the ctypes binding even when the wheel is installed
+        import pytest
+
+        ctz = compression._CtypesZstd()
+        data = b"sdrtpu " * 999 + b"\x00\xff"
+        z = ctz.compress(data, level=1)
+        assert ctz.decompress(z) == data
+        # forged frame header declaring a huge content size must be
+        # rejected before allocation (network DoS guard)
+        import struct
+        forged = struct.pack("<IBQ", 0xFD2FB528, 0xE0, 1 << 42) + b"x" * 9
+        with pytest.raises(RuntimeError):
+            ctz.decompress(forged)
+
     def test_zstd_wrapped_iq_payload(self):
         import numpy as np
 

@@ -153,3 +153,21 @@ class TestThemeManager:
         dup2.write_text(json.dumps({"name": "Same"}))
         with pytest.raises(ValueError):
             tm.load_theme(str(dup2))
+
+    def test_dir_scan_rerunnable_and_skips_bad_files(self, tmp_path):
+        import json
+        import pytest
+        from sdrtpu.apps.theme import ThemeManager, decode_color
+
+        good = tmp_path / "ok.json"
+        good.write_text(json.dumps({"name": "Ok", "Text": "#11223344"}))
+        (tmp_path / "broken.json").write_text("{not json")
+        (tmp_path / "noname.json").write_text(json.dumps({"author": "x"}))
+        (tmp_path / "readme.txt").write_text("skip me")
+        tm = ThemeManager()
+        assert tm.load_themes_from_dir(str(tmp_path)) == 1
+        # refresh (re-run) must not raise duplicate errors
+        assert tm.load_themes_from_dir(str(tmp_path)) == 1
+        assert tm.get_theme_names() == ["Ok"]
+        with pytest.raises(ValueError):
+            decode_color("#FF000080\n")  # trailing newline rejected
