@@ -193,12 +193,28 @@ def _cascade_equivalent_taps(stages) -> np.ndarray:
     return h
 
 
-def _plan_fft_chunks(block_len: int, R: int, t_eq: int) -> tuple[int, int]:
+def _plan_fft_chunks(
+    block_len: int, R: int, t_eq: int, n_channels: int = 1
+) -> tuple[int, int]:
     """Pick (valid, nfft) for chunked overlap-save decimation.
 
     Constraints: valid divides block_len, valid % R == 0, nfft % R == 0,
-    nfft >= valid + t_eq - 1, nfft FFT-friendly (R * 2^a * 5^b).  Minimizes
-    (block_len/valid) * nfft * log2(nfft) — total FFT work per block.
+    nfft >= valid + t_eq - 1, nfft FFT-friendly (R * 2^a * 5^b).
+
+    The cost model covers the whole chunked pipeline, not just the FFTs —
+    with P = block_len/valid chunks per block:
+
+    - shared FFTs: ~5 * P * nfft * log2(nfft) flops;
+    - the per-channel alias fold is a [batch=nif, M=P, K=R, N=C] matmul
+      (C*P*nfft MACs): its MXU efficiency collapses when P << 128 (the
+      systolic array pads M to the tile), modeled as a 128/min(P,128)
+      multiplier;
+    - the folded filter table is (C, nfft) complex64 read once per block:
+      at ~25 flop-equivalents per HBM byte, 200 * C * nfft.
+
+    Fold terms dominate for many channels: the 64-VFO 50 Msps plan moves
+    from (valid=250000, nfft=256000, P=10 — a 131 MB table and an M=10
+    matmul) to small chunks with P >= 128, ~4x faster end to end.
     """
     nice = sorted(
         R * (2 ** a) * (5 ** b)
@@ -206,6 +222,7 @@ def _plan_fft_chunks(block_len: int, R: int, t_eq: int) -> tuple[int, int]:
         for b in range(0, 7)
         if R * (2 ** a) * (5 ** b) <= 2 ** 24
     )
+    C = max(1, int(n_channels))
     best = None
     v = R
     while v <= block_len:
@@ -213,7 +230,11 @@ def _plan_fft_chunks(block_len: int, R: int, t_eq: int) -> tuple[int, int]:
             need = v + t_eq - 1
             for nfft in nice:
                 if nfft >= need:
-                    cost = (block_len // v) * nfft * np.log2(nfft)
+                    P = block_len // v
+                    fft = 5.0 * P * nfft * np.log2(nfft)
+                    fold = 8.0 * C * P * nfft * (128.0 / min(P, 128))
+                    table = 200.0 * C * nfft
+                    cost = fft + fold + table
                     if best is None or cost < best[0]:
                         best = (cost, v, nfft)
                     break
@@ -266,7 +287,7 @@ class FftDecimatorChain(StreamOp):
         n = int(block_len)
         assert n % R == 0, (n, R)
         self.block_len = n
-        valid, nfft = _plan_fft_chunks(n, R, t_eq)
+        valid, nfft = _plan_fft_chunks(n, R, t_eq, self.n_channels)
         self.valid, self.nfft = valid, nfft
         self.tpad = nfft - valid + 1
         self.n_chunks = n // valid
