@@ -24,7 +24,7 @@ import numpy as np
 
 _HERE = os.path.dirname(__file__)
 _SO_PATH = os.path.join(_HERE, "libsdrtpu_native.so")
-_SOURCES = ["iqconvert.cpp", "ringbuffer.cpp"]
+_SOURCES = ["iqconvert.cpp", "ringbuffer.cpp", "ingest.cpp"]
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -89,6 +89,18 @@ def get_lib():
         lib.ring_write.restype = c_i64
         lib.ring_read.argtypes = [ctypes.c_void_p, p(ctypes.c_uint8), c_i64]
         lib.ring_read.restype = c_i64
+        lib.pump_create.argtypes = [ctypes.c_int, c_i64]
+        lib.pump_create.restype = ctypes.c_void_p
+        lib.pump_read.argtypes = [ctypes.c_void_p, p(ctypes.c_uint8), c_i64]
+        lib.pump_read.restype = c_i64
+        for name in ("pump_available", "pump_total_bytes", "pump_dropped_bytes"):
+            f = getattr(lib, name)
+            f.argtypes = [ctypes.c_void_p]
+            f.restype = c_i64
+        lib.pump_state.argtypes = [ctypes.c_void_p]
+        lib.pump_state.restype = ctypes.c_int
+        lib.pump_destroy.argtypes = [ctypes.c_void_p]
+        lib.pump_destroy.restype = None
         _lib = lib
         return lib
 
@@ -229,6 +241,76 @@ class SpscRing:
     def close(self):
         if self._handle:
             self._lib.ring_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeTcpPump:
+    """C++ reader thread draining a connected TCP socket into the ring.
+
+    The native analog of a reference source module's worker thread
+    (``source_modules/network_source``, ``rtl_tcp_source`` read loops):
+    recv() runs in C++ (no GIL), overruns are dropped-and-counted like
+    ``SampleFrameBuffer``.  Python fetches whole IQ blocks and converts
+    them planar with the iqconvert kernels.
+
+    Takes ownership of ``sock`` (the fd is detached).  Raises RuntimeError
+    if the native library is unavailable — callers fall back to the
+    pure-Python reader (`sdrtpu.io.net.NetworkSource`).
+    """
+
+    def __init__(self, sock, fmt: str = "i16", ring_bytes: int = 1 << 24):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.fmt = fmt
+        self._itemsize = np.dtype(_DTYPES[fmt][0]).itemsize * 2
+        fd = sock.detach()
+        self._handle = lib.pump_create(fd, ring_bytes)
+        if not self._handle:
+            raise RuntimeError("pump_create failed")
+
+    @property
+    def available_samples(self) -> int:
+        return int(self._lib.pump_available(self._handle)) // self._itemsize
+
+    @property
+    def state(self) -> str:
+        return {0: "running", 1: "eof", 2: "error"}[
+            int(self._lib.pump_state(self._handle))
+        ]
+
+    @property
+    def total_bytes(self) -> int:
+        return int(self._lib.pump_total_bytes(self._handle))
+
+    @property
+    def dropped_bytes(self) -> int:
+        return int(self._lib.pump_dropped_bytes(self._handle))
+
+    def read_planar(self, n_samples: int):
+        """Up to ``n_samples`` IQ samples -> planar (re, im) float32."""
+        want = n_samples * self._itemsize
+        buf = np.empty(want, np.uint8)
+        got = int(
+            self._lib.pump_read(
+                self._handle,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                want,
+            )
+        )
+        got -= got % self._itemsize
+        return convert_to_planar(buf[:got].tobytes(), self.fmt)
+
+    def close(self):
+        if self._handle:
+            self._lib.pump_destroy(self._handle)
             self._handle = None
 
     def __del__(self):

@@ -106,3 +106,73 @@ class TestRing:
         t.join()
         assert bytes(got) == src
         ring.close()
+
+
+class TestNativeTcpPump:
+    def test_pump_end_to_end(self):
+        import socket
+        import time
+
+        import numpy as np
+        from sdrtpu.native import NativeTcpPump, get_lib
+
+        if get_lib() is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        srv = socket.socket()
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        cli = socket.create_connection(srv.getsockname())
+        conn, _ = srv.accept()
+
+        rng = np.random.default_rng(0)
+        iq = rng.integers(-30000, 30000, 4096 * 2, dtype=np.int16)
+        pump = NativeTcpPump(conn, fmt="i16", ring_bytes=1 << 20)
+        cli.sendall(iq.tobytes())
+        deadline = time.time() + 5.0
+        while pump.available_samples < 4096 and time.time() < deadline:
+            time.sleep(0.01)
+        assert pump.available_samples == 4096
+        re, im = pump.read_planar(4096)
+        np.testing.assert_allclose(re, iq[0::2] / 32768.0, atol=1e-7)
+        np.testing.assert_allclose(im, iq[1::2] / 32768.0, atol=1e-7)
+        assert pump.total_bytes == iq.nbytes
+        assert pump.dropped_bytes == 0
+        assert pump.state == "running"
+        cli.close()
+        deadline = time.time() + 5.0
+        while pump.state != "eof" and time.time() < deadline:
+            time.sleep(0.01)
+        assert pump.state == "eof"
+        pump.close()
+        srv.close()
+
+    def test_pump_overrun_counted(self):
+        import socket
+        import time
+
+        import numpy as np
+        from sdrtpu.native import NativeTcpPump, get_lib
+
+        if get_lib() is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        cli = socket.create_connection(srv.getsockname())
+        conn, _ = srv.accept()
+        pump = NativeTcpPump(conn, fmt="i16", ring_bytes=4096)  # tiny ring
+        data = np.zeros(65536, np.int16).tobytes()
+        cli.sendall(data)
+        deadline = time.time() + 5.0
+        while pump.total_bytes < len(data) and time.time() < deadline:
+            time.sleep(0.01)
+        assert pump.dropped_bytes > 0  # overflow dropped, not blocked
+        assert pump.available_samples > 0
+        pump.close()
+        cli.close()
+        srv.close()
