@@ -70,8 +70,13 @@ class BroadcastFm(StreamOp):
         )
         self.pilot_fir = Fir(pilot_taps, dtype=jnp.complex64)
         d = (len(pilot_taps) - 1) // 2 + 1
+        # One real delay serves both branches: the reference delays the
+        # discriminator output twice (real L+R path and a complex copy for
+        # the L-R mix, ``broadcast_fm.h:158-171``), but the "complex" copy
+        # has zero imaginary part, so Re(delayed(m) * conj(vco)^2) ==
+        # delayed(m) * Re(conj(vco)^2) — the second (complex) delay line
+        # is algebraically redundant.
         self.lpr_delay = Delay(d, jnp.float32)
-        self.lmr_delay = Delay(d, jnp.complex64)
         if pilot_mode == "pll":
             w19 = tapsmod.hz_to_rads(19000.0, samplerate)
             self.pilot_pll = Pll(
@@ -101,7 +106,6 @@ class BroadcastFm(StreamOp):
             "pilot_fir": self.pilot_fir.init_state(),
             "pll": self.pilot_pll.init_state(),
             "lpr_delay": self.lpr_delay.init_state(),
-            "lmr_delay": self.lmr_delay.init_state(),
             "al": self.al_fir.init_state(),
             "ar": self.ar_fir.init_state(),
             "rds_xl": self.rds_xlator.init_state() if self.rds_xlator else (),
@@ -137,10 +141,9 @@ class BroadcastFm(StreamOp):
             st["pll"], vco = self.pilot_pll(state["pll"], p)
 
         st["lpr_delay"], lpr = self.lpr_delay(state["lpr_delay"], m)
-        st["lmr_delay"], mcd = self.lmr_delay(state["lmr_delay"], mc)
 
         vco2 = jnp.conj(vco) * jnp.conj(vco)
-        lmr = 2.0 * (mcd * vco2).real
+        lmr = 2.0 * lpr * vco2.real
 
         if self.rds_out:
             st["rds_xl"], rc = self.rds_xlator(state["rds_xl"], mc)
