@@ -14,12 +14,15 @@ extracted after the shard_map.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..kernels.fir import correlate_valid
+
+_TWO_PI = 2.0 * np.pi
 
 
 def halo_exchange_left(x_local: jax.Array, halo_len: int, axis_name: str):
@@ -68,3 +71,75 @@ def time_sharded_fir(
         out_specs=(P(), P(axis_name)),
     )
     return fn(global_tail, x)
+
+
+def time_sharded_channelizer(
+    mesh: Mesh,
+    chain,
+    x: jax.Array,
+    state,
+    axis_name: str = "time",
+):
+    """Run an `FftDecimatorChain` with its time axis sharded over ``mesh``.
+
+    ``chain`` must be built with ``block_len = N / n_time`` (each shard's
+    local span); ``x`` is the (N,) global wideband block, sharded along
+    ``axis_name``; ``state`` is the chain's (replicated) state from
+    ``chain.init_state()`` or a previous call.
+
+    Two things cross shard boundaries:
+
+    - the convolution halo: each shard needs the previous shard's last
+      ``tpad - 1`` input samples (`ppermute`, the ICI analog of the
+      reference's ``memmove``d FIR history — SURVEY §5.7); shard 0 uses
+      the carried global stream tail;
+    - the residual IF-rate rotator phase: shard ``s`` starts
+      ``s * block_len`` input samples into the global block, so its
+      per-channel phase is ``phase + s * delta (mod 2pi)`` where ``delta``
+      is the chain rotator's per-local-block phase advance — computed
+      locally from `axis_index`, no communication.
+
+    Returns ``(new_state, y)`` with ``y`` (C, N/R) sharded along its time
+    axis and ``new_state`` replicated (tail = last shard's input tail,
+    phase advanced by the whole global block).
+    """
+    halo = chain.tpad - 1
+
+    def f(tail_rep, rot_phase, x_local, st_rest):
+        idx = jax.lax.axis_index(axis_name)
+        n_dev = jax.lax.axis_size(axis_name)
+        left = halo_exchange_left(x_local, halo, axis_name)
+        left = jnp.where(idx == 0, tail_rep, left)
+        delta = jnp.asarray(st_rest["rot"]["delta"])  # (C,) per local block
+        local_rot = dict(st_rest["rot"])
+        local_rot["phase"] = jnp.mod(
+            rot_phase + idx.astype(jnp.float32) * delta, np.float32(_TWO_PI)
+        )
+        st = dict(st_rest)
+        st["tail"] = left
+        st["rot"] = local_rot
+        _, y = chain(st, x_local)
+        contrib = jnp.where(idx == n_dev - 1, x_local[..., -halo:], 0.0 + 0.0j)
+        new_tail = jax.lax.psum(contrib, axis_name)
+        new_phase = jnp.mod(
+            rot_phase + n_dev * delta, np.float32(_TWO_PI)
+        )
+        return new_tail, new_phase, y
+
+    st_rest = {k: v for k, v in state.items() if k != "tail"}
+    rot_phase = jnp.asarray(state["rot"]["phase"])
+    fn = shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P()),
+        out_specs=(P(), P(), P(None, axis_name)),
+    )
+    new_tail, new_phase, y = fn(
+        jnp.asarray(state["tail"]), rot_phase, x, st_rest
+    )
+    new_state = dict(state)
+    new_state["tail"] = new_tail
+    new_rot = dict(state["rot"])
+    new_rot["phase"] = new_phase
+    new_state["rot"] = new_rot
+    return new_state, y

@@ -117,3 +117,50 @@ class TestMultiVfo:
             NamedSharding(mesh, P("channel")), y.ndim
         ) or True  # placement may be optimized; value equality is the test
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+
+class TestTimeShardedChannelizer:
+    """Config-5 mechanism: the FFT channelizer front end time-sharded."""
+
+    def test_matches_unsharded_across_blocks(self):
+        from sdrtpu.kernels.resample import RationalResampler
+        from sdrtpu.shard.channelizer import FftDecimatorChain
+        from sdrtpu.shard.overlap import time_sharded_channelizer
+
+        fs, f_if = 2_000_000.0, 250_000.0
+        n_time = 8
+        n_local = 8000
+        N = n_time * n_local
+        offsets = np.array([-700e3, -50e3, 412e3])
+        rr = RationalResampler(fs, f_if)
+        stages = [
+            (np.asarray(s.taps), s.decimation) for s in rr.predecim.stages
+        ]
+
+        rng = np.random.default_rng(7)
+        x = (
+            rng.standard_normal(2 * N) + 1j * rng.standard_normal(2 * N)
+        ).astype(np.complex64)
+
+        # unsharded reference on full global blocks
+        full = FftDecimatorChain(offsets, fs, stages, N)
+        st_f = full.init_state()
+        refs = []
+        for blk in x.reshape(2, N):
+            st_f, y = full(st_f, jnp.asarray(blk))
+            refs.append(np.asarray(y))
+        ref = np.concatenate(refs, axis=-1)
+
+        # time-sharded: local chain + halo/phase exchange over the mesh
+        mesh = make_mesh(n_channel=1, n_time=n_time)
+        local = FftDecimatorChain(offsets, fs, stages, n_local)
+        st = local.init_state()
+        outs = []
+        for blk in x.reshape(2, N):
+            st, y = time_sharded_channelizer(mesh, local, jnp.asarray(blk), st)
+            outs.append(np.asarray(y))
+        got = np.concatenate(outs, axis=-1)
+
+        assert got.shape == ref.shape
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=4e-3 * scale)
