@@ -82,8 +82,10 @@ class MultiVfoMixer(StreamOp):
         coarse = jnp.asarray(state["coarse"])  # (C, nc)
         fine = jnp.asarray(state["fine"])  # (C, K)
         phase = jnp.asarray(state["phase"])  # (C,)
+        # channel count from the state tables (not self.n_channels): under
+        # shard_map the per-shard view carries C/n_shards rows
         angles = (coarse[:, :, None] + fine[:, None, :]).reshape(
-            self.n_channels, -1
+            coarse.shape[0], -1
         )[:, :n]
         angles = angles + phase[:, None]
         rot = jax.lax.complex(jnp.cos(angles), jnp.sin(angles))
@@ -393,10 +395,10 @@ class FftDecimatorChain(StreamOp):
         else:
             # fold: sum over the alias (R) axis of the pointwise product
             S = jnp.einsum("prk,crk->cpk", Xr, hf) / self.ratio
-        y = jnp.fft.ifft(S)  # (C, P, nif)
+        y = jnp.fft.ifft(S)  # (C, P, nif) — C local under shard_map
         m0 = (self.tpad - 1) // self.ratio
         y = y[:, :, m0 : m0 + self.valid // self.ratio]
-        y = y.reshape(self.n_channels, n // self.ratio)
+        y = y.reshape(y.shape[0], n // self.ratio)
         st_rot, y = self.rot(state["rot"], y)
         new_state = {"tail": new_tail, "hf": state["hf"], "rot": st_rot}
         if self._sparse:

@@ -102,8 +102,15 @@ def time_sharded_channelizer(
     Returns ``(new_state, y)`` with ``y`` (C, N/R) sharded along its time
     axis and ``new_state`` replicated (tail = last shard's input tail,
     phase advanced by the whole global block).
+
+    If ``channel_axis`` is given (2-D mesh), every per-channel state leaf
+    — the folded filter table ``hf``, rotator phase/tables — and the
+    output's channel axis are additionally sharded over it, so a
+    ("channel", "time") mesh splits both the VFO set and the wideband
+    span; the only cross-device traffic is the time-axis halo.
     """
     halo = chain.tpad - 1
+    C = chain.n_channels
 
     def f(tail_rep, rot_phase, x_local, st_rest):
         idx = jax.lax.axis_index(axis_name)
@@ -119,7 +126,9 @@ def time_sharded_channelizer(
         st["tail"] = left
         st["rot"] = local_rot
         _, y = chain(st, x_local)
-        contrib = jnp.where(idx == n_dev - 1, x_local[..., -halo:], 0.0 + 0.0j)
+        contrib = jnp.where(
+            idx == n_dev - 1, x_local[..., -halo:], jnp.zeros_like(x_local[..., -halo:])
+        )
         new_tail = jax.lax.psum(contrib, axis_name)
         new_phase = jnp.mod(
             rot_phase + n_dev * delta, np.float32(_TWO_PI)
@@ -128,11 +137,25 @@ def time_sharded_channelizer(
 
     st_rest = {k: v for k, v in state.items() if k != "tail"}
     rot_phase = jnp.asarray(state["rot"]["phase"])
+
+    channel_axis = "channel" if "channel" in mesh.axis_names and (
+        mesh.shape.get("channel", 1) > 1
+    ) else None
+
+    def chan_spec(leaf):
+        arr = np.asarray(leaf) if not hasattr(leaf, "shape") else leaf
+        if channel_axis and getattr(arr, "ndim", 0) >= 1 and arr.shape[0] == C:
+            return P(channel_axis)
+        return P()
+
+    rest_specs = jax.tree_util.tree_map(chan_spec, st_rest)
+    phase_spec = chan_spec(rot_phase)
+    y_spec = P(channel_axis, axis_name) if channel_axis else P(None, axis_name)
     fn = shard_map(
         f,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis_name), P()),
-        out_specs=(P(), P(), P(None, axis_name)),
+        in_specs=(P(), phase_spec, P(axis_name), rest_specs),
+        out_specs=(P(), phase_spec, y_spec),
     )
     new_tail, new_phase, y = fn(
         jnp.asarray(state["tail"]), rot_phase, x, st_rest

@@ -164,3 +164,36 @@ class TestTimeShardedChannelizer:
         assert got.shape == ref.shape
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got, ref, atol=4e-3 * scale)
+
+    def test_2d_mesh_channel_and_time(self):
+        """(channel, time) mesh: VFO set and wideband span both sharded."""
+        from sdrtpu.kernels.resample import RationalResampler
+        from sdrtpu.shard.channelizer import FftDecimatorChain
+        from sdrtpu.shard.overlap import time_sharded_channelizer
+
+        fs, f_if = 2_000_000.0, 250_000.0
+        n_ch_shards, n_time = 4, 2
+        n_local = 16000
+        N = n_time * n_local
+        offsets = np.linspace(-800e3, 800e3, 8)  # 8 VFOs / 4 channel shards
+        rr = RationalResampler(fs, f_if)
+        stages = [
+            (np.asarray(s.taps), s.decimation) for s in rr.predecim.stages
+        ]
+        rng = np.random.default_rng(11)
+        x = (rng.standard_normal(N) + 1j * rng.standard_normal(N)).astype(
+            np.complex64
+        )
+
+        full = FftDecimatorChain(offsets, fs, stages, N)
+        _, ref = full(full.init_state(), jnp.asarray(x))
+        ref = np.asarray(ref)
+
+        mesh = make_mesh(n_channel=n_ch_shards, n_time=n_time)
+        local = FftDecimatorChain(offsets, fs, stages, n_local)
+        st, y = time_sharded_channelizer(
+            mesh, local, jnp.asarray(x), local.init_state()
+        )
+        got = np.asarray(y)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=4e-3 * scale)
