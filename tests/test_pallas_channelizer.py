@@ -299,3 +299,31 @@ class TestFftDecimator:
         ch = FftDecimatorChain(np.array([1e6]), fs, stages, n,
                                sparse_thresh_db=-100.0)
         assert not ch._sparse  # white-spectrum taps keep every alias row
+
+    def test_r200_plan_matches_time_domain(self):
+        """The fold-aware plan at R=200 (50 Msps -> 250 kHz) stays exact."""
+        from sdrtpu.kernels.resample import RationalResampler
+        from sdrtpu.shard.channelizer import (
+            FftDecimatorChain,
+            ModulatedDecimatorChain,
+        )
+
+        fs = 50e6
+        n = 200000
+        offsets = np.array([-20e6, -3.7e6, 11e6])
+        rr = RationalResampler(fs, 250e3)
+        stages = [
+            (np.asarray(s.taps), s.decimation) for s in rr.predecim.stages
+        ]
+        assert int(np.prod([m for _, m in stages])) == 200
+        x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(
+            np.complex64
+        )
+        ref_op = ModulatedDecimatorChain(offsets, fs, stages, n)
+        _, ref = ref_op(ref_op.init_state(), jnp.asarray(x))
+        fft_op = FftDecimatorChain(offsets, fs, stages, n)
+        assert fft_op.n_chunks >= 8  # fold-aware plan: many chunks
+        _, got = fft_op(fft_op.init_state(), jnp.asarray(x))
+        ref, got = np.asarray(ref), np.asarray(got)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=4e-3 * scale)
