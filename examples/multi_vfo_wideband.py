@@ -22,7 +22,6 @@ def main() -> int:
     pipe = WbfmMultiVfoPipeline(offsets, fs, block, spectrum=True)
 
     # synthetic wideband: one FM station per VFO offset
-    rng = np.random.default_rng(0)
     t = np.arange(block) / fs
     x = np.zeros(block, np.complex64)
     for i, fc in enumerate(offsets):

@@ -55,54 +55,67 @@ def get_lib():
             return None
         try:
             lib = ctypes.CDLL(path)
-        except OSError:
-            _lib = False
-            return None
-        c_i64 = ctypes.c_int64
-        p = ctypes.POINTER
-        for name, arg0 in [
-            ("iq_u8_to_planar_f32", ctypes.c_uint8),
-            ("iq_i8_to_planar_f32", ctypes.c_int8),
-            ("iq_i16_to_planar_f32", ctypes.c_int16),
-            ("iq_i32_to_planar_f32", ctypes.c_int32),
-            ("iq_f32_to_planar_f32", ctypes.c_float),
-        ]:
-            f = getattr(lib, name)
-            f.argtypes = [p(arg0), p(ctypes.c_float), p(ctypes.c_float), c_i64]
-            f.restype = None
-        for name, outt in [
-            ("planar_f32_to_iq_i8", ctypes.c_int8),
-            ("planar_f32_to_iq_i16", ctypes.c_int16),
-            ("planar_f32_to_iq_f32", ctypes.c_float),
-        ]:
-            f = getattr(lib, name)
-            f.argtypes = [p(ctypes.c_float), p(ctypes.c_float), p(outt), c_i64]
-            f.restype = None
-        lib.ring_create.argtypes = [c_i64]
-        lib.ring_create.restype = ctypes.c_void_p
-        lib.ring_destroy.argtypes = [ctypes.c_void_p]
-        for name in ("ring_write_available", "ring_read_available"):
-            f = getattr(lib, name)
-            f.argtypes = [ctypes.c_void_p]
-            f.restype = c_i64
-        lib.ring_write.argtypes = [ctypes.c_void_p, p(ctypes.c_uint8), c_i64]
-        lib.ring_write.restype = c_i64
-        lib.ring_read.argtypes = [ctypes.c_void_p, p(ctypes.c_uint8), c_i64]
-        lib.ring_read.restype = c_i64
-        lib.pump_create.argtypes = [ctypes.c_int, c_i64]
-        lib.pump_create.restype = ctypes.c_void_p
-        lib.pump_read.argtypes = [ctypes.c_void_p, p(ctypes.c_uint8), c_i64]
-        lib.pump_read.restype = c_i64
-        for name in ("pump_available", "pump_total_bytes", "pump_dropped_bytes"):
-            f = getattr(lib, name)
-            f.argtypes = [ctypes.c_void_p]
-            f.restype = c_i64
-        lib.pump_state.argtypes = [ctypes.c_void_p]
-        lib.pump_state.restype = ctypes.c_int
-        lib.pump_destroy.argtypes = [ctypes.c_void_p]
-        lib.pump_destroy.restype = None
+            _bind(lib)
+        except (OSError, AttributeError):
+            # a stale .so (built before a symbol was added) dlopens fine
+            # but fails symbol binding: rebuild once, else degrade to the
+            # NumPy fallbacks rather than crash
+            try:
+                if _build() is None:
+                    raise OSError("rebuild failed")
+                lib = ctypes.CDLL(_SO_PATH)
+                _bind(lib)
+            except (OSError, AttributeError):
+                _lib = False
+                return None
         _lib = lib
         return lib
+
+
+def _bind(lib) -> None:
+    c_i64 = ctypes.c_int64
+    p = ctypes.POINTER
+    for name, arg0 in [
+        ("iq_u8_to_planar_f32", ctypes.c_uint8),
+        ("iq_i8_to_planar_f32", ctypes.c_int8),
+        ("iq_i16_to_planar_f32", ctypes.c_int16),
+        ("iq_i32_to_planar_f32", ctypes.c_int32),
+        ("iq_f32_to_planar_f32", ctypes.c_float),
+    ]:
+        f = getattr(lib, name)
+        f.argtypes = [p(arg0), p(ctypes.c_float), p(ctypes.c_float), c_i64]
+        f.restype = None
+    for name, outt in [
+        ("planar_f32_to_iq_i8", ctypes.c_int8),
+        ("planar_f32_to_iq_i16", ctypes.c_int16),
+        ("planar_f32_to_iq_f32", ctypes.c_float),
+    ]:
+        f = getattr(lib, name)
+        f.argtypes = [p(ctypes.c_float), p(ctypes.c_float), p(outt), c_i64]
+        f.restype = None
+    lib.ring_create.argtypes = [c_i64]
+    lib.ring_create.restype = ctypes.c_void_p
+    lib.ring_destroy.argtypes = [ctypes.c_void_p]
+    for name in ("ring_write_available", "ring_read_available"):
+        f = getattr(lib, name)
+        f.argtypes = [ctypes.c_void_p]
+        f.restype = c_i64
+    lib.ring_write.argtypes = [ctypes.c_void_p, p(ctypes.c_uint8), c_i64]
+    lib.ring_write.restype = c_i64
+    lib.ring_read.argtypes = [ctypes.c_void_p, p(ctypes.c_uint8), c_i64]
+    lib.ring_read.restype = c_i64
+    lib.pump_create.argtypes = [ctypes.c_int, c_i64, c_i64]
+    lib.pump_create.restype = ctypes.c_void_p
+    lib.pump_read.argtypes = [ctypes.c_void_p, p(ctypes.c_uint8), c_i64]
+    lib.pump_read.restype = c_i64
+    for name in ("pump_available", "pump_total_bytes", "pump_dropped_bytes"):
+        f = getattr(lib, name)
+        f.argtypes = [ctypes.c_void_p]
+        f.restype = c_i64
+    lib.pump_state.argtypes = [ctypes.c_void_p]
+    lib.pump_state.restype = ctypes.c_int
+    lib.pump_destroy.argtypes = [ctypes.c_void_p]
+    lib.pump_destroy.restype = None
 
 
 _DTYPES = {
@@ -272,8 +285,8 @@ class NativeTcpPump:
         self.fmt = fmt
         self._itemsize = np.dtype(_DTYPES[fmt][0]).itemsize * 2
         fd = sock.detach()
-        self._handle = lib.pump_create(fd, ring_bytes)
-        if not self._handle:
+        self._handle = lib.pump_create(fd, ring_bytes, self._itemsize)
+        if not self._handle:  # pump_create closed the fd on failure
             raise RuntimeError("pump_create failed")
 
     @property
@@ -295,8 +308,17 @@ class NativeTcpPump:
         return int(self._lib.pump_dropped_bytes(self._handle))
 
     def read_planar(self, n_samples: int):
-        """Up to ``n_samples`` IQ samples -> planar (re, im) float32."""
-        want = n_samples * self._itemsize
+        """Up to ``n_samples`` IQ samples -> planar (re, im) float32.
+
+        Reads only whole samples: bytes are never dequeued from the ring
+        and then discarded (that would shift the I/Q framing of the whole
+        remaining stream).  The producer only adds bytes between the
+        availability check and the read, so the aligned read always gets
+        exactly what it asks for.
+        """
+        want = min(n_samples, self.available_samples) * self._itemsize
+        if want == 0:
+            return (np.empty(0, np.float32), np.empty(0, np.float32))
         buf = np.empty(want, np.uint8)
         got = int(
             self._lib.pump_read(
@@ -305,8 +327,8 @@ class NativeTcpPump:
                 want,
             )
         )
-        got -= got % self._itemsize
-        return convert_to_planar(buf[:got].tobytes(), self.fmt)
+        assert got == want, (got, want)
+        return convert_to_planar(buf.tobytes(), self.fmt)
 
     def close(self):
         if self._handle:

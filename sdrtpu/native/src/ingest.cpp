@@ -11,6 +11,7 @@
 // on the wire path.
 
 #include <atomic>
+#include <cerrno>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -26,6 +27,7 @@ void ring_destroy(SpscRing* r);
 int64_t ring_write(SpscRing* r, const uint8_t* src, int64_t len);
 int64_t ring_read(SpscRing* r, uint8_t* dst, int64_t len);
 int64_t ring_read_available(SpscRing* r);
+int64_t ring_write_available(SpscRing* r);
 }
 
 namespace {
@@ -33,6 +35,7 @@ namespace {
 struct IngestPump {
     int fd = -1;
     SpscRing* ring = nullptr;
+    int64_t item_size = 1;  // bytes per IQ sample (wire format)
     std::thread reader;
     std::atomic<bool> stop{false};
     std::atomic<int64_t> total_bytes{0};
@@ -40,24 +43,40 @@ struct IngestPump {
     std::atomic<int> state{0};  // 0 running, 1 EOF, 2 error
 
     void run() {
+        // The ring holds WHOLE wire samples only: recv() returns byte
+        // counts at arbitrary boundaries, so a sub-sample remainder is
+        // carried to the next recv instead of entering the ring, and any
+        // overflow drop is a whole number of samples starting at a sample
+        // boundary.  A misaligned write or drop would shift the
+        // interleaved I/Q framing of every later byte in the stream.
         constexpr int64_t CHUNK = 256 * 1024;
-        uint8_t* buf = new uint8_t[CHUNK];
+        uint8_t* buf = new uint8_t[CHUNK + 16];
+        int64_t carry = 0;  // sub-sample bytes carried between recvs
         while (!stop.load(std::memory_order_relaxed)) {
-            ssize_t n = recv(fd, buf, CHUNK, 0);
+            ssize_t n = recv(fd, buf + carry, CHUNK, 0);
             if (n == 0) { state.store(1); break; }
             if (n < 0) {
                 if (stop.load()) break;
+                if (errno == EINTR) continue;  // interrupted, not an error
                 state.store(2);
                 break;
             }
             total_bytes.fetch_add(n, std::memory_order_relaxed);
-            int64_t written = ring_write(ring, buf, n);
-            if (written < n) {
-                // live-source policy: drop the overflow, count it
-                // (matches SampleFrameBuffer's drop-on-full behavior)
-                dropped_bytes.fetch_add(n - written,
+            int64_t total = carry + n;
+            int64_t aligned = (total / item_size) * item_size;
+            // live-source overflow policy: drop whole samples from the
+            // chunk's tail and count them (SampleFrameBuffer drops whole
+            // frames on full)
+            int64_t space =
+                (ring_write_available(ring) / item_size) * item_size;
+            int64_t accept = aligned <= space ? aligned : space;
+            if (accept > 0) ring_write(ring, buf, accept);
+            if (accept < aligned) {
+                dropped_bytes.fetch_add(aligned - accept,
                                         std::memory_order_relaxed);
             }
+            carry = total - aligned;
+            if (carry > 0) memmove(buf, buf + aligned, carry);
         }
         delete[] buf;
     }
@@ -68,11 +87,17 @@ struct IngestPump {
 extern "C" {
 
 // Takes ownership of `fd` (Python should socket.detach()).
-IngestPump* pump_create(int fd, int64_t ring_capacity) {
+// `item_size`: bytes per wire sample — drops stay sample-aligned.
+IngestPump* pump_create(int fd, int64_t ring_capacity, int64_t item_size) {
     auto* p = new IngestPump();
     p->fd = fd;
+    p->item_size = item_size > 0 ? item_size : 1;
     p->ring = ring_create(ring_capacity);
-    if (!p->ring) { delete p; return nullptr; }
+    if (!p->ring) {
+        close(fd);  // we own it; don't leak on failure
+        delete p;
+        return nullptr;
+    }
     p->reader = std::thread([p] { p->run(); });
     return p;
 }

@@ -103,11 +103,12 @@ def time_sharded_channelizer(
     axis and ``new_state`` replicated (tail = last shard's input tail,
     phase advanced by the whole global block).
 
-    If ``channel_axis`` is given (2-D mesh), every per-channel state leaf
-    — the folded filter table ``hf``, rotator phase/tables — and the
-    output's channel axis are additionally sharded over it, so a
-    ("channel", "time") mesh splits both the VFO set and the wideband
-    span; the only cross-device traffic is the time-axis halo.
+    On a 2-D mesh whose "channel" axis has size > 1 (auto-detected from
+    ``mesh.axis_names``), every per-channel state leaf — the folded
+    filter table ``hf``, rotator phase/tables — and the output's channel
+    axis are additionally sharded over it, so a ("channel", "time") mesh
+    splits both the VFO set and the wideband span; the only cross-device
+    traffic is the time-axis halo.
     """
     halo = chain.tpad - 1
     C = chain.n_channels

@@ -176,3 +176,42 @@ class TestNativeTcpPump:
         pump.close()
         cli.close()
         srv.close()
+
+    def test_overrun_preserves_sample_framing(self):
+        """Dropped overflow is whole samples: I/Q pairing survives."""
+        import socket
+        import time
+
+        import numpy as np
+        from sdrtpu.native import NativeTcpPump, get_lib
+
+        if get_lib() is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        cli = socket.create_connection(srv.getsockname())
+        conn, _ = srv.accept()
+        pump = NativeTcpPump(conn, fmt="i16", ring_bytes=8192)
+        # I = +k, Q = -k: any misaligned byte drop breaks im == -re
+        k = np.arange(1, 40001, dtype=np.int16)
+        wire = np.empty(2 * len(k), np.int16)
+        wire[0::2] = k
+        wire[1::2] = -k
+        # odd-sized sends force non-sample-aligned recv boundaries
+        raw = wire.tobytes()
+        for i in range(0, len(raw), 7777):
+            cli.sendall(raw[i : i + 7777])
+        deadline = time.time() + 5.0
+        while pump.total_bytes < len(raw) and time.time() < deadline:
+            time.sleep(0.01)
+        assert pump.dropped_bytes > 0
+        assert pump.dropped_bytes % 4 == 0  # whole i16 IQ samples
+        re, im = pump.read_planar(100000)
+        assert len(re) > 0
+        np.testing.assert_allclose(im, -re, atol=1e-6)
+        pump.close()
+        cli.close()
+        srv.close()
