@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import socket
 import threading
+import time
 from collections import deque
 
 import numpy as np
@@ -124,12 +125,19 @@ class NetworkSource:
     """Raw IQ ingest over TCP(listen) or UDP (``network_source``).
 
     Received samples accumulate in a deque; ``read()`` drains them.
+    TCP connections use the native C++ ingest pump when available
+    (``sdrtpu.native.NativeTcpPump``: GIL-free recv loop + SPSC ring,
+    the analog of the reference's source worker threads); set
+    ``native=False`` or lack the toolchain to use the pure-Python reader.
     """
 
-    def __init__(self, mode: str, host: str, port: int, fmt: str = "i16"):
+    def __init__(self, mode: str, host: str, port: int, fmt: str = "i16",
+                 native: bool = True):
         assert mode in ("tcp", "udp")
         self.mode = mode
         self.fmt = fmt
+        self.native = native
+        self._pump = None
         self._chunks: deque[np.ndarray] = deque()
         self._cv = threading.Condition()
         self._running = True
@@ -171,6 +179,8 @@ class NetworkSource:
                     conn, _ = self._sock.accept()
                 except OSError:
                     return
+                if self.native and self._try_pump(conn):
+                    continue
                 buf = b""
                 while self._running:
                     try:
@@ -184,6 +194,36 @@ class NetworkSource:
                     if usable:
                         self._push(buf[:usable])
                         buf = buf[usable:]
+
+    def _try_pump(self, conn) -> bool:
+        """Drain one connection through the native pump; False = no lib."""
+        try:
+            from ..native import NativeTcpPump, get_lib
+
+            if get_lib() is None:
+                return False
+            pump = NativeTcpPump(conn, fmt=self.fmt)
+        except (RuntimeError, OSError):
+            return False
+        self._pump = pump
+        try:
+            while self._running:
+                re, im = pump.read_planar(1 << 18)
+                if len(re):
+                    iq = np.empty(len(re), np.complex64)
+                    iq.real = re
+                    iq.imag = im
+                    with self._cv:
+                        self._chunks.append(iq)
+                        self._cv.notify()
+                elif pump.state != "running":
+                    break
+                else:
+                    time.sleep(0.002)
+        finally:
+            pump.close()
+            self._pump = None
+        return True
 
     def read(self, timeout: float = 1.0) -> np.ndarray | None:
         with self._cv:

@@ -150,3 +150,29 @@ class TestZstd:
         z = compression.zstd_compress(payload)
         back = compression.decompress(compression.zstd_decompress(z))
         assert np.max(np.abs(back - iq)) < 1e-3
+
+
+class TestNetworkSourceNativePath:
+    def test_tcp_native_and_python_paths_agree(self):
+        from sdrtpu.native import get_lib
+
+        iq = rand_iq(8192)
+        for native in ((True, False) if get_lib() is not None else (False,)):
+            src = NetworkSource("tcp", "127.0.0.1", 0, fmt="i16",
+                                native=native)
+            exp = IqExporter("tcp-client", "127.0.0.1", src.port, fmt="i16")
+            time.sleep(0.1)
+            exp.send(iq)
+            got = []
+            deadline = time.time() + 3.0
+            while sum(len(g) for g in got) < len(iq) and time.time() < deadline:
+                chunk = src.read(timeout=0.5)
+                if chunk is not None:
+                    got.append(chunk)
+            back = np.concatenate(got)
+            assert len(back) == len(iq), f"native={native}"
+            np.testing.assert_allclose(back, iq, atol=1e-4)
+            if native:
+                assert src._pump is not None  # the pump path was active
+            exp.close()
+            src.close()
