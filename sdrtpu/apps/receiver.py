@@ -109,7 +109,14 @@ class Vfo(StreamOp):
 
 
 class IQFrontend(StreamOp):
-    """DC block + spectrum branch + N named VFOs as one stream op."""
+    """DC block + spectrum branch + N named VFOs as one stream op.
+
+    VFOs sharing an IF rate are fused into one `Channelizer` front end
+    (FFT overlap-save mix+decimate, ~10x the per-VFO path for many VFOs)
+    once `bind()` fixes the block length — `Receiver` does this
+    automatically; single VFOs of a rate keep the per-VFO xlate+resample
+    path.  ``fuse=False`` disables grouping.
+    """
 
     def __init__(
         self,
@@ -121,6 +128,7 @@ class IQFrontend(StreamOp):
         fft_size: int = 65536,
         fft_rate: float = 20.0,
         spectrum: bool = True,
+        fuse: bool = True,
     ):
         # optional frontend decimation ahead of everything, the analog of
         # IQFrontEnd's PowerDecimator + effective samplerate
@@ -140,6 +148,9 @@ class IQFrontend(StreamOp):
         self.vfos = {
             name: Vfo(cfg, eff, audio_rate) for name, cfg in vfos.items()
         }
+        self._fuse = fuse
+        self._groups: dict[float, tuple[list[str], object]] = {}
+        self._bound_len: int | None = None
 
     def block_multiple(self) -> int:
         m = 1
@@ -149,12 +160,58 @@ class IQFrontend(StreamOp):
             m = np.lcm(m, self.spectrum.interval)
         return int(m) * self.decimation
 
+    def bind(self, block_len: int) -> None:
+        """Fix the input block length; fuse same-IF-rate VFO groups.
+
+        The fused `Channelizer` (FFT overlap-save) needs a static block
+        length for its chunk plan and mixer tables, so grouping happens
+        here rather than in ``__init__``.  Idempotent per length.
+        """
+        if not self._fuse or self._bound_len == block_len:
+            return
+        from ..shard.channelizer import Channelizer
+
+        inner = block_len // self.decimation
+        by_rate: dict[float, list[str]] = {}
+        for name, vfo in self.vfos.items():
+            by_rate.setdefault(vfo.radio.if_rate, []).append(name)
+        self._groups = {}
+        for if_rate, names in by_rate.items():
+            if len(names) < 2:
+                continue
+            offsets = [self.vfos[n].cfg.offset_hz for n in names]
+            chan = Channelizer(
+                offsets, self.effective_samplerate, if_rate, inner
+            )
+            self._groups[if_rate] = (names, chan)
+        self._bound_len = block_len
+
+    def _grouped_names(self) -> set:
+        out = set()
+        for names, _ in self._groups.values():
+            out.update(names)
+        return out
+
     def init_state(self):
-        return {
+        grouped = self._grouped_names()
+        st = {
             "pre": self.predecim.init_state() if self.predecim else (),
             "dc": self.dc.init_state() if self.dc else (),
-            "vfos": {n: v.init_state() for n, v in self.vfos.items()},
+            "vfos": {
+                n: (
+                    {"radio": v.radio.init_state()}
+                    if n in grouped
+                    else v.init_state()
+                )
+                for n, v in self.vfos.items()
+            },
         }
+        if self._groups:
+            st["chan"] = {
+                f"{if_rate:.0f}": chan.init_state()
+                for if_rate, (_, chan) in self._groups.items()
+            }
+        return st
 
     def __call__(self, state, x):
         st = {"pre": state["pre"], "dc": state["dc"], "vfos": {}}
@@ -166,7 +223,21 @@ class IQFrontend(StreamOp):
         if self.spectrum:
             _, spec = self.spectrum((), x)
         audios = {}
+        grouped = self._grouped_names()
+        if self._groups:
+            st["chan"] = {}
+            for if_rate, (names, chan) in self._groups.items():
+                key = f"{if_rate:.0f}"
+                st["chan"][key], rows = chan(state["chan"][key], x)
+                for i, name in enumerate(names):
+                    vfo = self.vfos[name]
+                    rst, audios[name] = vfo.radio(
+                        state["vfos"][name]["radio"], rows[i]
+                    )
+                    st["vfos"][name] = {"radio": rst}
         for name, vfo in self.vfos.items():
+            if name in grouped:
+                continue
             st["vfos"][name], audios[name] = vfo(state["vfos"][name], x)
         return st, (audios, spec)
 
@@ -194,6 +265,8 @@ class Receiver:
             block_len = max(1, 250000 // m) * m
         assert block_len % m == 0, f"block_len must be a multiple of {m}"
         self.block_len = block_len
+        if hasattr(frontend, "bind"):
+            frontend.bind(block_len)  # fuse same-IF-rate VFO groups
         self.framer = BlockFramer(block_len)
         self.audio_sinks = audio_sinks or {}
         self.spectrum_sink = spectrum_sink
