@@ -44,6 +44,9 @@ def main() -> int:
     cli.set_sample_type(PCM_TYPE_I16)
     cli.start()
     block = cli.recv_baseband(timeout=5.0)
+    if block is None:
+        print("no baseband received within 5 s", file=sys.stderr)
+        return 1
     print(f"received baseband block: {len(block)} complex samples, "
           f"rms {np.sqrt(np.mean(np.abs(block) ** 2)):.3f}")
     cli.stop()

@@ -74,9 +74,7 @@ class Vfo(StreamOp):
                  emit_iq: bool = False):
         self.cfg = cfg
         self.emit_iq = emit_iq
-        info = MODE_INFO[cfg.mode]
         self.xlator = FreqXlator(-cfg.offset_hz, in_samplerate)
-        self.ddc = RationalResampler(in_samplerate, info["if_rate"])
         self.radio = RadioChain(
             cfg.mode,
             audio_rate=audio_rate,
@@ -84,6 +82,10 @@ class Vfo(StreamOp):
             squelch_db=cfg.squelch_db,
             stereo=cfg.stereo,
         )
+        # DDC targets the chain's actual IF rate (RAW mode overrides
+        # MODE_INFO's nominal rate with the audio rate, radio_module's
+        # "demodulators/raw.h" behavior)
+        self.ddc = RationalResampler(in_samplerate, self.radio.if_rate)
 
     def block_multiple(self) -> int:
         return self.ddc.block_multiple() * self.radio.block_multiple()
@@ -169,6 +171,14 @@ class IQFrontend(StreamOp):
         """
         if not self._fuse or self._bound_len == block_len:
             return
+        if self._bound_len is not None:
+            # the fused channelizers and any live Receiver state are
+            # specific to one block length; silent rebinding would corrupt
+            # the first receiver's traced program
+            raise ValueError(
+                f"IQFrontend already bound to block_len={self._bound_len}; "
+                "create a separate IQFrontend per Receiver"
+            )
         from ..shard.channelizer import Channelizer
 
         inner = block_len // self.decimation
@@ -180,9 +190,12 @@ class IQFrontend(StreamOp):
             if len(names) < 2:
                 continue
             offsets = [self.vfos[n].cfg.offset_hz for n in names]
-            chan = Channelizer(
-                offsets, self.effective_samplerate, if_rate, inner
-            )
+            try:
+                chan = Channelizer(
+                    offsets, self.effective_samplerate, if_rate, inner
+                )
+            except (AssertionError, ValueError):
+                continue  # no valid plan for this length: stay per-VFO
             self._groups[if_rate] = (names, chan)
         self._bound_len = block_len
 

@@ -196,15 +196,30 @@ class NetworkSource:
                         buf = buf[usable:]
 
     def _try_pump(self, conn) -> bool:
-        """Drain one connection through the native pump; False = no lib."""
+        """Drain one connection through the native pump.
+
+        Returns False only when the native library is unavailable (the
+        caller's pure-Python reader then handles ``conn``).  If pump
+        construction fails AFTER the socket fd was detached, the
+        connection is unrecoverable — log and report handled (True)
+        rather than letting the fallback recv() a dead socket.
+        """
         try:
             from ..native import NativeTcpPump, get_lib
-
-            if get_lib() is None:
-                return False
-            pump = NativeTcpPump(conn, fmt=self.fmt)
-        except (RuntimeError, OSError):
+        except ImportError:
             return False
+        if get_lib() is None:
+            return False
+        try:
+            pump = NativeTcpPump(conn, fmt=self.fmt)  # detaches conn's fd
+        except (RuntimeError, OSError):
+            import logging
+
+            logging.getLogger(__name__).error(
+                "native ingest pump failed after socket detach; "
+                "connection dropped"
+            )
+            return True
         self._pump = pump
         try:
             while self._running:

@@ -56,7 +56,9 @@ def four_step_fft(x: jnp.ndarray, n1: int | None = None) -> jnp.ndarray:
         # measures fastest on v5e (N=65536: n1=64 -> 9.8 us vs the square
         # 256x256 split's 24.5 us — the wide batch keeps the vector lanes
         # full on the inner FFTs).
-        n1 = 1 << max(4, int(np.log2(max(N, 2))) // 2 - 2)
+        n1 = 1 << max(0, int(np.log2(max(N, 2))) // 2 - 2)
+        while n1 > 1 and N % n1:  # N need not be a power of two
+            n1 >>= 1
     n2 = N // n1
     assert n1 * n2 == N, (N, n1)
     lead = x.shape[:-1]
