@@ -16,6 +16,7 @@ also used by `apps/waterfall.py`'s PNG export for annotation colors.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 from dataclasses import dataclass, field
@@ -58,8 +59,6 @@ class ThemeManager:
         call is a refresh, re-runnable), non-JSON files are skipped, and a
         bad file is logged and skipped rather than aborting the scan.
         """
-        import logging
-
         self.themes.clear()
         n = 0
         for fn in sorted(os.listdir(path)):

@@ -37,6 +37,12 @@ class _CtypesZstd:
     directly gives wire parity without the ``zstandard`` wheel.
     """
 
+    # Ceiling on a frame's declared content size: the header is
+    # attacker-controlled network input (server protocol baseband
+    # packets), so never allocate what it claims unchecked.  Wire packets
+    # are <= a few MB; 256 MB leaves two orders of magnitude of headroom.
+    MAX_CONTENT = 256 * 1024 * 1024
+
     def __init__(self):
         import ctypes
         import ctypes.util
@@ -69,12 +75,6 @@ class _CtypesZstd:
         if lib.ZSTD_isError(n):
             raise RuntimeError("ZSTD_compress failed")
         return out.raw[:n]
-
-    # Ceiling on a frame's declared content size: the header is
-    # attacker-controlled network input (server protocol baseband
-    # packets), so never allocate what it claims unchecked.  Wire packets
-    # are <= a few MB; 256 MB leaves two orders of magnitude of headroom.
-    MAX_CONTENT = 256 * 1024 * 1024
 
     def decompress(self, data: bytes) -> bytes:
         ct, lib = self._ct, self._lib

@@ -13,6 +13,7 @@ model); these are the host edges feeding the device pipeline.
 
 from __future__ import annotations
 
+import logging
 import socket
 import threading
 import time
@@ -213,8 +214,6 @@ class NetworkSource:
         try:
             pump = NativeTcpPump(conn, fmt=self.fmt)  # detaches conn's fd
         except (RuntimeError, OSError):
-            import logging
-
             logging.getLogger(__name__).error(
                 "native ingest pump failed after socket detach; "
                 "connection dropped"

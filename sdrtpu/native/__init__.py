@@ -328,7 +328,8 @@ class NativeTcpPump:
             )
         )
         assert got == want, (got, want)
-        return convert_to_planar(buf.tobytes(), self.fmt)
+        # reinterpret in place (no tobytes copy); view matches the wire dtype
+        return convert_to_planar(buf.view(_DTYPES[self.fmt][0]), self.fmt)
 
     def close(self):
         if self._handle:
