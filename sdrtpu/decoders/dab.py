@@ -14,8 +14,11 @@ TPU-native structure — OFDM is naturally block-parallel:
 - demod: batched FFT over all 76 symbols at once, differential product
   between consecutive symbols, frequency deinterleaving by the spec's
   permutation recursion pi(i+1) = (13 pi(i) + 511) mod 2048,
-- FIC: rate-1/4 K=7 mother code (polys 0o133, 0o171, 0o145, 0o133) with
-  puncturing, energy-dispersal PRBS (x^9 + x^5 + 1), FIB CRC-16/CCITT.
+- FIC: full EN 300 401 coding — rate-1/4 K=7 mother code (polys 0o133,
+  0o171, 0o145, 0o133) with SS11.2 puncturing (21 blocks PI=16, 3 blocks
+  PI=15, V_T tail), energy-dispersal PRBS (x^9 + x^5 + 1), SS14.5 QPSK
+  bit mapping, FIB CRC-16/CCITT (complemented per SS5.2.1), and FIG 0/0,
+  1/0, 1/1 parsing.
 
 The PRS is the real ETSI mode-I phase reference (h-table + Table-44
 (k', i, n) parameters, §14.3.2), so coarse sync / channel estimation is
@@ -43,7 +46,47 @@ DAB_POLYS = (0o133, 0o171, 0o145, 0o133)  # rate 1/4 mother code
 
 # FIC: symbols 1..3 carry the Fast Information Channel.
 FIC_SYMS = 3
-FIB_BITS = 256  # one FIB = 30 bytes + CRC16
+FIB_BITS = 256        # one FIB = 30 bytes + CRC16
+FIBS_PER_FRAME = 12   # mode I: 4 codewords x 3 FIBs
+FIC_CODEWORD = 2304   # punctured bits per 3-FIB group (EN 300 401 SS11.2)
+
+# Puncturing (EN 300 401 SS11.1.2): the serialized rate-1/4 mother output
+# is split into 32-bit vectors; v_PI keeps 8 + PI of each 32.  The
+# standard's Table-29 vectors follow a layered construction: base = c0 of
+# each of the 8 input bits, then each PI increment adds one more output
+# (c1, then c2, then c3 layer) in the fixed group order 0,4,2,6,1,5,3,7.
+_PI_ORDER = (0, 4, 2, 6, 1, 5, 3, 7)
+
+
+def puncture_vector(pi: int) -> np.ndarray:
+    """32-entry keep mask v_PI, 1 <= PI <= 24 (EN 300 401 Table 29)."""
+    assert 1 <= pi <= 24
+    v = np.zeros(32, np.uint8)
+    v[0::4] = 1
+    for j in range(pi):
+        layer = 1 + j // 8
+        v[_PI_ORDER[j % 8] * 4 + layer] = 1
+    return v
+
+
+# tail puncturing vector V_T: keep c0,c1 of each of the 6 tail bits
+VT = np.tile(np.array([1, 1, 0, 0], np.uint8), 6)
+
+
+def fic_puncture_mask() -> np.ndarray:
+    """Keep mask over one 3-FIB group's 3096 mother-code bits:
+    21 x 128-bit blocks at PI=16, 3 blocks at PI=15, 24 tail bits at V_T
+    (EN 300 401 SS11.2: 2688 + 384 + 24 -> 2016 + 276 + 12 = 2304)."""
+    m = np.concatenate([
+        np.tile(puncture_vector(16), 84),
+        np.tile(puncture_vector(15), 12),
+        VT,
+    ])
+    assert m.size == 3096 and int(m.sum()) == FIC_CODEWORD
+    return m
+
+
+_FIC_MASK = fic_puncture_mask()
 
 
 def freq_interleave_table() -> np.ndarray:
@@ -160,21 +203,39 @@ class DabModulator:
             out.append(self._ofdm_symbol(phases))
         return np.concatenate(out).astype(np.complex64)
 
-    def fic_to_symbols(self, fib_bits: np.ndarray) -> np.ndarray:
-        """FIC payload bits -> (FIC_SYMS, CARRIERS) DQPSK dibits.
+    def fic_encode_group(self, fib_triple: np.ndarray) -> np.ndarray:
+        """One 3-FIB group (768 bits) -> 2304-bit FIC codeword.
 
-        Simplified FIC pipeline for loopback: energy dispersal -> rate-1/4
-        mother code (no puncturing) -> map pairs of bits to dibits.
+        EN 300 401 SS10-11: energy dispersal (PRBS reset per group) ->
+        rate-1/4 K=7 mother code with 6 tail bits -> puncturing
+        (PI=16 / PI=15 / V_T).
         """
-        bits = np.asarray(fib_bits, np.uint8)
-        scr = bits ^ energy_dispersal(len(bits))
+        bits = np.asarray(fib_triple, np.uint8)
+        assert bits.size == 3 * FIB_BITS
+        scr = bits ^ energy_dispersal(bits.size)
         coded = self.enc.encode(np.concatenate([scr, np.zeros(6, np.uint8)]))
-        need = FIC_SYMS * CARRIERS * 2
-        coded = np.concatenate([coded, np.zeros(max(0, need - len(coded)), np.uint8)])[
-            :need
-        ]
-        dibits = (coded[0::2] << 1) | coded[1::2]
-        return dibits.reshape(FIC_SYMS, CARRIERS)
+        assert coded.size == 3096
+        return coded[_FIC_MASK.astype(bool)]
+
+    def fic_to_symbols(self, fibs: np.ndarray) -> np.ndarray:
+        """12 FIBs -> (FIC_SYMS, CARRIERS) DQPSK dibits, off-air format.
+
+        4 codewords of 2304 bits fill symbols 1..3 sequentially; each
+        symbol's 3072 bits map to QPSK per EN 300 401 SS14.5
+        (q_n = [(1-2 p_n) + j (1-2 p_{n+1536})]/sqrt(2)) in the
+        frequency-interleaved carrier order.
+        """
+        fibs = np.asarray(fibs, np.uint8).reshape(FIBS_PER_FRAME, FIB_BITS)
+        coded = np.concatenate(
+            [self.fic_encode_group(fibs[3 * g: 3 * g + 3].reshape(-1))
+             for g in range(4)]
+        )
+        assert coded.size == FIC_SYMS * 2 * CARRIERS
+        p = coded.reshape(FIC_SYMS, 2 * CARRIERS)
+        a, b = p[:, :CARRIERS], p[:, CARRIERS:]
+        # (a, b) -> dibit d with q-phase pi/4 + d*pi/2:
+        # (0,0)->0, (1,0)->1, (1,1)->2, (0,1)->3
+        return (a ^ b) + 2 * b
 
 
 class DabDemodulator:
@@ -212,18 +273,130 @@ class DabDemodulator:
         dibits = jnp.mod(jnp.round(ang / (np.pi / 2)), 4).astype(jnp.int32)
         return dibits
 
-    def decode_fic(self, dibits: np.ndarray, n_payload_bits: int) -> tuple[np.ndarray, bool]:
-        """(FIC_SYMS, CARRIERS) dibits -> (payload bits, crc_ok_hint).
+    def fic_decode_group(self, soft_codeword: np.ndarray) -> np.ndarray:
+        """2304 soft bits (+1 = 0) -> 768 FIB-group bits.
 
-        Inverse of `DabModulator.fic_to_symbols`; crc check is left to the
-        caller's FIB layout (use `crc16_ccitt`).
+        Depunctures to the 3096-bit mother stream (0.0 erasures at
+        punctured positions), Viterbi-decodes the rate-1/4 K=7 code and
+        removes the energy dispersal."""
+        soft = np.asarray(soft_codeword, np.float32)
+        assert soft.size == FIC_CODEWORD
+        full = np.zeros(3096, np.float32)
+        full[_FIC_MASK.astype(bool)] = soft
+        decoded = np.asarray(self.viterbi.decode(full))[: 3 * FIB_BITS]
+        return (decoded ^ energy_dispersal(3 * FIB_BITS)).astype(np.uint8)
+
+    def decode_fic(self, dibits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(>=FIC_SYMS, CARRIERS) dibits -> (12 FIBs (12, 256), crc_ok (12,)).
+
+        Inverse of `DabModulator.fic_to_symbols`: per-symbol QPSK bit
+        de-mapping (EN 300 401 SS14.5), 4 codewords, depuncture + Viterbi
+        + energy dispersal, FIB CRC check (SS5.2.1: transmitted CRC is the
+        one's complement of CRC-16/CCITT over the first 30 bytes).
         """
-        d = np.asarray(dibits[:FIC_SYMS]).reshape(-1)
-        bits = np.empty(d.size * 2, np.uint8)
-        bits[0::2] = (d >> 1) & 1
-        bits[1::2] = d & 1
-        n_coded = (n_payload_bits + 6) * 4
-        soft = 1.0 - 2.0 * bits[:n_coded].astype(np.float32)
-        decoded = np.asarray(self.viterbi.decode(soft))[:n_payload_bits]
-        payload = decoded ^ energy_dispersal(n_payload_bits)
-        return payload, True
+        d = np.asarray(dibits[:FIC_SYMS])
+        a = ((d == 1) | (d == 2)).astype(np.uint8)
+        b = (d >= 2).astype(np.uint8)
+        p = np.concatenate([a, b], axis=1).reshape(-1)  # (FIC_SYMS*3072,)
+        soft = 1.0 - 2.0 * p.astype(np.float32)
+        fibs = np.concatenate(
+            [self.fic_decode_group(soft[g * FIC_CODEWORD: (g + 1) * FIC_CODEWORD])
+             for g in range(4)]
+        ).reshape(FIBS_PER_FRAME, FIB_BITS)
+        ok = np.array([fib_crc_ok(f) for f in fibs], bool)
+        return fibs, ok
+
+
+# --- FIB / FIG layer (EN 300 401 SS5.2, SS8.1) ---------------------------
+
+
+def fib_crc_ok(fib_bits: np.ndarray) -> bool:
+    """FIB check: CRC-16/CCITT over the first 30 bytes equals the one's
+    complement of the stored CRC (EN 300 401 SS5.2.1)."""
+    bits = np.asarray(fib_bits, np.uint8)
+    crc = crc16_ccitt(bits[:240])
+    stored = 0
+    for b in bits[240:256]:
+        stored = (stored << 1) | int(b)
+    return crc == (stored ^ 0xFFFF)
+
+
+def build_fib(figs: list[bytes]) -> np.ndarray:
+    """FIG byte strings (header byte included) -> 256-bit FIB.
+
+    Pads with an 0xFF end marker + zeros to 30 bytes, appends the
+    complemented CRC-16."""
+    data = b"".join(figs)
+    assert len(data) <= 30, "FIG data exceeds FIB capacity"
+    if len(data) < 30:
+        data += b"\xff" + b"\x00" * (29 - len(data))
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    crc = crc16_ccitt(bits) ^ 0xFFFF
+    crc_bits = np.array([(crc >> (15 - i)) & 1 for i in range(16)], np.uint8)
+    return np.concatenate([bits, crc_bits])
+
+
+def make_fig_0_0(eid: int, cif_count: int = 0, change: int = 0,
+                 al_flag: int = 0) -> bytes:
+    """FIG 0/0 ensemble information."""
+    body = bytes([
+        0x00,                       # CN=0 OE=0 PD=0 ext=0
+        (eid >> 8) & 0xFF, eid & 0xFF,
+        ((change & 3) << 6) | ((al_flag & 1) << 5) | ((cif_count >> 8) & 0x1F),
+        cif_count & 0xFF,
+    ])
+    return bytes([(0 << 5) | len(body)]) + body
+
+
+def make_fig_1_0(eid: int, label: str, charset: int = 0,
+                 flag: int = 0xFF00) -> bytes:
+    """FIG 1/0 ensemble label (16 chars)."""
+    lab = label.ljust(16)[:16].encode("latin-1")
+    body = bytes([((charset & 0xF) << 4) | 0x0,
+                  (eid >> 8) & 0xFF, eid & 0xFF]) + lab + bytes(
+        [(flag >> 8) & 0xFF, flag & 0xFF])
+    return bytes([(1 << 5) | len(body)]) + body
+
+
+def make_fig_1_1(sid: int, label: str, charset: int = 0,
+                 flag: int = 0xFF00) -> bytes:
+    """FIG 1/1 programme service label."""
+    body = bytes([((charset & 0xF) << 4) | 0x1,
+                  (sid >> 8) & 0xFF, sid & 0xFF]) + label.ljust(16)[:16].encode(
+        "latin-1") + bytes([(flag >> 8) & 0xFF, flag & 0xFF])
+    return bytes([(1 << 5) | len(body)]) + body
+
+
+def parse_figs(fib_bits: np.ndarray) -> list[dict]:
+    """Parse one CRC-valid FIB's FIGs (types 0 ext 0, 1 ext 0/1 decoded;
+    others reported raw)."""
+    data = np.packbits(np.asarray(fib_bits[:240], np.uint8)).tobytes()
+    out = []
+    i = 0
+    while i < 30:
+        hdr = data[i]
+        if hdr == 0xFF:
+            break  # end marker
+        ftype, flen = hdr >> 5, hdr & 0x1F
+        body = data[i + 1: i + 1 + flen]
+        i += 1 + flen
+        if ftype == 0 and len(body) >= 1 and (body[0] & 0x1F) == 0 and len(body) >= 5:
+            out.append({
+                "type": (0, 0),
+                "eid": (body[1] << 8) | body[2],
+                "change": body[3] >> 6,
+                "cif_count": ((body[3] & 0x1F) << 8) | body[4],
+            })
+        elif ftype == 1 and len(body) >= 21 and (body[0] & 0x7) in (0, 1):
+            ext = body[0] & 0x7
+            ident = (body[1] << 8) | body[2]
+            label = body[3:19].decode("latin-1")
+            out.append({
+                "type": (1, ext),
+                ("eid" if ext == 0 else "sid"): ident,
+                "label": label,
+                "charset": body[0] >> 4,
+            })
+        else:
+            out.append({"type": ("raw", ftype), "data": bytes(body)})
+    return out

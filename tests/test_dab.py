@@ -46,19 +46,107 @@ def test_null_detection():
     assert abs(start - 5000) < 50
 
 
-def test_fic_roundtrip_with_noise():
-    mod = DabModulator()
-    dem = DabDemodulator()
-    payload = RNG.integers(0, 2, 400).astype(np.uint8)
-    sym = mod.fic_to_symbols(payload)
-    all_dibits = np.concatenate([
-        sym, RNG.integers(0, 4, (NUM_SYMS - 1 - FIC_SYMS, CARRIERS))
-    ])
-    frame = mod.modulate_frame(all_dibits)
-    frame = frame + (0.02 * (RNG.standard_normal(len(frame)) + 1j * RNG.standard_normal(len(frame)))).astype(np.complex64)
-    got_dibits = np.asarray(dem.demod_frame(frame))
-    decoded, _ = dem.decode_fic(got_dibits, len(payload))
-    np.testing.assert_array_equal(decoded, payload)
+class TestFicCoding:
+    def test_puncture_vectors_table29(self):
+        from sdrtpu.decoders.dab import VT, puncture_vector
+
+        # counts: v_PI keeps 8 + PI of 32
+        for pi in range(1, 25):
+            v = puncture_vector(pi)
+            assert v.sum() == 8 + pi
+        # known vectors from EN 300 401 Table 29
+        np.testing.assert_array_equal(
+            puncture_vector(16), np.tile([1, 1, 1, 0], 8)
+        )
+        np.testing.assert_array_equal(puncture_vector(24), np.ones(32))
+        v1 = np.zeros(32, np.uint8)
+        v1[0::4] = 1
+        v1[1] = 1
+        np.testing.assert_array_equal(puncture_vector(1), v1)
+        # PI=15: c0,c1 everywhere, c2 in all groups but the last
+        v15 = np.tile([1, 1, 1, 0], 8)
+        v15[7 * 4 + 2] = 0
+        np.testing.assert_array_equal(puncture_vector(15), v15)
+        assert VT.sum() == 12 and VT.size == 24
+
+    def test_fic_rate(self):
+        from sdrtpu.decoders.dab import FIC_CODEWORD, fic_puncture_mask
+
+        m = fic_puncture_mask()
+        assert m.size == 3096 and m.sum() == FIC_CODEWORD  # rate ~ 1/3
+
+    def _make_fibs(self):
+        from sdrtpu.decoders.dab import (
+            build_fib, make_fig_0_0, make_fig_1_0, make_fig_1_1,
+        )
+
+        fibs = [
+            build_fib([make_fig_0_0(0xD1E5, cif_count=42),
+                       make_fig_1_0(0xD1E5, "SDRTPU ENSEMBLE")]),
+            build_fib([make_fig_1_1(0xC0DE, "TPU RADIO 1")]),
+        ]
+        while len(fibs) < 12:
+            fibs.append(build_fib([]))
+        return np.stack(fibs)
+
+    def test_fib_crc(self):
+        from sdrtpu.decoders.dab import fib_crc_ok
+
+        fibs = self._make_fibs()
+        assert all(fib_crc_ok(f) for f in fibs)
+        bad = fibs[0].copy()
+        bad[17] ^= 1
+        assert not fib_crc_ok(bad)
+
+    def test_fic_offair_roundtrip_with_noise(self):
+        """Full off-air-format FIC: FIGs -> FIBs -> EN 300 401 coding ->
+        OFDM frame -> samples + noise -> demod -> FIC decode -> CRC-gated
+        FIG parse."""
+        from sdrtpu.decoders.dab import parse_figs
+
+        mod = DabModulator()
+        dem = DabDemodulator()
+        fibs = self._make_fibs()
+        sym = mod.fic_to_symbols(fibs)
+        all_dibits = np.concatenate([
+            sym, RNG.integers(0, 4, (NUM_SYMS - 1 - FIC_SYMS, CARRIERS))
+        ])
+        frame = mod.modulate_frame(all_dibits)
+        frame = frame + (
+            0.02 * (RNG.standard_normal(len(frame))
+                    + 1j * RNG.standard_normal(len(frame)))
+        ).astype(np.complex64)
+        got_dibits = np.asarray(dem.demod_frame(frame))
+        got_fibs, ok = dem.decode_fic(got_dibits)
+        assert ok.all(), ok
+        np.testing.assert_array_equal(got_fibs, fibs)
+        figs = parse_figs(got_fibs[0])
+        assert {"type": (0, 0), "eid": 0xD1E5, "change": 0,
+                "cif_count": 42} in figs
+        labels = [f for f in figs if f["type"] == (1, 0)]
+        assert labels and labels[0]["label"].strip() == "SDRTPU ENSEMBLE"
+        figs1 = parse_figs(got_fibs[1])
+        svc = [f for f in figs1 if f["type"] == (1, 1)]
+        assert svc and svc[0]["sid"] == 0xC0DE
+        assert svc[0]["label"].strip() == "TPU RADIO 1"
+
+    def test_fic_survives_puncture_erasures_and_bit_errors(self):
+        """Viterbi must absorb channel bit errors on the punctured code."""
+        mod = DabModulator()
+        dem = DabDemodulator()
+        fibs = self._make_fibs()
+        coded = np.concatenate(
+            [mod.fic_encode_group(fibs[3 * g: 3 * g + 3].reshape(-1))
+             for g in range(4)]
+        )
+        soft = 1.0 - 2.0 * coded.astype(np.float32)
+        flip = RNG.choice(len(soft), size=len(soft) // 50, replace=False)
+        soft[flip] *= -1.0  # 2% hard bit errors
+        got = np.concatenate(
+            [dem.fic_decode_group(soft[g * 2304: (g + 1) * 2304])
+             for g in range(4)]
+        ).reshape(12, 256)
+        np.testing.assert_array_equal(got, fibs)
 
 
 def test_energy_dispersal_involution():
