@@ -59,11 +59,17 @@ def measure(fn, *args, reps: int = 3) -> float:
 
 def scaling_efficiency(step_1dev, step_ndev, args1, argsn, n_devices: int,
                        reps: int = 3) -> dict:
-    """Compare a single-device step against an n-device sharded step.
+    """WEAK-scaling comparison: equal per-device work.
 
-    Both steps should do n_devices times... the SAME total work: the
-    sharded step processes n times the data (weak scaling).  Efficiency =
-    t1 / tN for equal per-device work.
+    Contract: ``step_1dev(*args1)`` processes W units of work on one
+    device; ``step_ndev(*argsn)`` processes ``n_devices * W`` units
+    sharded over n devices — so each device again does W.  Perfect
+    scaling then gives tN == t1, and ``t1 / tN`` is the weak-scaling
+    efficiency (the fraction not lost to collectives/halo/imbalance).
+    On a virtual CPU mesh, where all "devices" timeshare one host, ideal
+    tN is ``n * t1`` instead — use ``n_devices * t1 / tN`` there (see
+    bench_scaling.py) and treat it as a mechanism check, not a hardware
+    claim.
     """
     t1 = measure(step_1dev, *args1, reps=reps)
     tn = measure(step_ndev, *argsn, reps=reps)
