@@ -132,16 +132,32 @@ def main():
         log(f"  pass: {dt*1000:.1f} ms for {n_disp} dispatches -> {sps/1e6:.1f} Msps (probe {probe:.3g})")
 
     msps = best / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "wbfm_8vfo_iq_throughput_per_chip",
-                "value": round(msps, 2),
-                "unit": "Msamples/s/chip",
-                "vs_baseline": round(msps / 100.0, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "wbfm_8vfo_iq_throughput_per_chip",
+        "value": round(msps, 2),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / 100.0, 3),
+    }
+
+    # Roofline/MFU accounting (BASELINE "kernels at roofline"): per-stage
+    # achieved FLOP/s + HBM GB/s vs chip peaks via the slope method.
+    if os.environ.get("SDRTPU_BENCH_PROFILE", "1") != "0":
+        try:
+            from sdrtpu.roofline import profile_flagship
+
+            prof = profile_flagship(pipe, x)
+            for name, s in prof["stages"].items():
+                log(f"  roofline {name}: {s['ms_per_block']} ms/blk, "
+                    f"{s['gflop_per_s']} GFLOP/s (mfu {s['mfu']:.1%}), "
+                    f"{s['hbm_gb_per_s']} GB/s (hbm {s['hbm_util']:.1%}), "
+                    f"{s['bound']}-bound")
+            result["mfu"] = prof["pipeline_mfu"]
+            result["hbm_util"] = prof["pipeline_hbm_util"]
+            result["roofline"] = prof
+        except Exception as e:  # noqa: BLE001 - profile must not kill the bench
+            log(f"roofline profile failed: {e!r}")
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

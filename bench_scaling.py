@@ -33,6 +33,10 @@ def main():
                     help="force an N-device virtual CPU mesh")
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--block", type=int, default=200_000)
+    ap.add_argument("--flagship", action="store_true",
+                    help="scale the full WbfmMultiVfoPipeline (stereo WFM "
+                         "demod + audio path) instead of the "
+                         "channelizer+discriminator scan chain")
     args = ap.parse_args()
 
     if args.virtual:
@@ -70,6 +74,22 @@ def main():
          + 1j * rng.standard_normal(block_len)).astype(np.complex64)
 
     def build(offsets):
+        if args.flagship:
+            from sdrtpu.apps.wbfm_pipeline import WbfmMultiVfoPipeline
+
+            pipe = WbfmMultiVfoPipeline(offsets, fs_in, block_len,
+                                        channelizer_method="fft")
+
+            def step(rstate, re, im):
+                st, a = pipe(complexify(rstate), jax.lax.complex(re, im))
+                return realify(st), a
+
+            # one eager step stabilizes broadcastable state shapes
+            st0, _ = step(realify(pipe.init_state()),
+                          jnp.zeros(block_len, jnp.float32),
+                          jnp.zeros(block_len, jnp.float32))
+            return step, st0
+
         ch = Channelizer(offsets, fs_in, if_rate, block_len, method="auto")
         quad = Quadrature(75000.0, if_rate)
 

@@ -27,3 +27,31 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compile_cache(path: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache for sdrtpu programs.
+
+    Reconfiguration in this framework is "rebuild the jitted program";
+    on TPU backends a flagship-scale trace can take minutes to compile
+    cold but loads from the persistent cache in seconds — so the cache
+    IS the live-reconfigure story for program-shape changes (offset-only
+    retunes don't even retrace; see `WbfmMultiVfoPipeline.retune_state`).
+
+    Called automatically on first `Receiver` construction and by the CLI
+    (opt out with SDRTPU_NO_CACHE=1); default location
+    ``~/.cache/sdrtpu/jax``.
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("SDRTPU_NO_CACHE"):
+        return ""
+    path = path or os.environ.get("SDRTPU_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "sdrtpu", "jax"
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return path

@@ -272,6 +272,9 @@ class Receiver:
         scan_batch: int = 1,
         metrics=None,
     ):
+        from .. import enable_compile_cache
+
+        enable_compile_cache()  # reconfigure = cached rebuild (SURVEY §5.6)
         self.frontend = frontend
         m = frontend.block_multiple()
         if block_len is None:
@@ -320,6 +323,22 @@ class Receiver:
         self._step_scan = _step_scan
         self._rstate = realify(frontend.init_state())
         self._warmed = False
+
+    def warmup(self) -> None:
+        """Compile the processing step ahead of live data.
+
+        Runs the jitted step once on a zero block and resets state, so
+        the first real `push` doesn't stall on XLA compilation (the
+        analog of the reference starting its DSP threads before play).
+        """
+        zeros = np.zeros(self.block_len, np.float32)
+        state0 = self._rstate
+        # two steps: the first traces from init-state shapes, the second
+        # from the stabilized steady-state shapes (broadcasted IIR
+        # carries etc.) — both programs end up compiled
+        st, _ = self._step(state0, zeros, zeros)
+        self._step(st, zeros, zeros)
+        self._rstate = state0
 
     def push(self, iq: np.ndarray) -> None:
         """Feed host IQ samples; dispatches as blocks/batches fill."""

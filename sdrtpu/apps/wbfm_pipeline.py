@@ -119,6 +119,20 @@ class WbfmMultiVfoPipeline(StreamOp):
         n_if = self.channelizer.out_len(n)
         return self.audio_resamp.out_len(n_if)
 
+    def retune_state(self, state, offsets_hz) -> dict:
+        """Retune every VFO without recompiling the jitted program.
+
+        Offset-dependent tables live in the state pytree (channelizer
+        ``hf`` + rotator tables); demod/audio carries are per-channel and
+        offset-independent.  Cost = host table rebuild (ms) + one state
+        upload — vs minutes for a retrace on this backend
+        (BENCH_r01 recorded 668 s for the flagship compile).
+        """
+        st = dict(state)
+        st["chan"] = self.channelizer.retune_state(state["chan"], offsets_hz)
+        self.offsets = np.asarray(offsets_hz, np.float64)
+        return st
+
     def __call__(self, state, x):
         st = dict(state)
         st["chan"], y = self.channelizer(state["chan"], x)  # (C, n_if)

@@ -1,0 +1,261 @@
+"""Roofline / MFU accounting for the flagship pipeline stages.
+
+BASELINE.md demands "FIR/polyphase + FFT kernels at roofline on a single
+chip".  This module makes that claim checkable: for each stage of
+`WbfmMultiVfoPipeline` it
+
+- measures device time per block with the slope method (time a
+  ``lax.scan`` of K iterations at two K values; the host-fetch RTT
+  cancels in the difference — docs/PERF.md methodology), and
+- computes an analytic FLOP and HBM-byte model from the stage's actual
+  plan (FFT sizes, fold shapes, polyphase geometry),
+
+then reports achieved GFLOP/s and GB/s against the chip's peaks and
+classifies each stage by its arithmetic intensity vs the machine balance
+point.  Byte models count ALGORITHMIC traffic (inputs + outputs +
+unfused intermediates at one read+write each); XLA fusion can only
+reduce them, so ``hbm_util`` is an upper bound on the achieved fraction
+of peak bandwidth and the compute/memory-bound classification is
+conservative.
+
+Peaks default to TPU v5e (public figures: 197 bf16 TFLOP/s MXU, ~1/4 of
+that for the f32 VPU path this workload uses, 819 GB/s HBM) and are
+overridable for other chips.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Public TPU v5e (vXe "lite") figures.  The DSP pipeline computes in
+# float32/complex64 on the VPU + MXU-f32 path, so the relevant compute
+# peak is ~1/4 of the headline bf16 MXU number.
+V5E_PEAKS = {
+    "name": "TPU v5e",
+    "flops_f32": 197e12 / 4.0,
+    "hbm_gbps": 819.0,
+}
+
+
+def _flog2(n: float) -> float:
+    return float(np.log2(max(n, 2.0)))
+
+
+def fft_flops(n: int, batch: int = 1) -> float:
+    """Split-radix complex FFT: ~5 n log2 n real FLOPs."""
+    return 5.0 * batch * n * _flog2(n)
+
+
+def channelizer_model(chain, block_len: int) -> tuple[float, float]:
+    """(flops, bytes) per block for an `FftDecimatorChain`."""
+    P, F, R = chain.n_chunks, chain.nfft, chain.ratio
+    C, nif = chain.n_channels, chain.nif
+    n_if_out = block_len // R
+    flops = (
+        fft_flops(F, P)                    # shared forward FFTs
+        + 8.0 * P * R * nif * C            # alias-fold einsum (cmul+add)
+        + fft_flops(nif, C * P)            # per-channel IFFTs
+        + 20.0 * C * n_if_out              # residual rotator (sin/cos/cmul)
+    )
+    c64 = 8.0
+    bytes_ = (
+        block_len * c64                    # wideband read
+        + 2 * P * F * c64                  # chunk matrix write+read
+        + 2 * P * F * c64                  # spectrum X write+read
+        + C * R * nif * c64                # folded filter table read
+        + 2 * C * P * nif * c64            # folded spectrum write+read
+        + 2 * C * n_if_out * c64           # ifft out + rotator read
+        + C * n_if_out * c64               # IF output write
+    )
+    return flops, bytes_
+
+
+def wfm_model(demod, C: int, n_if: int) -> tuple[float, float]:
+    """(flops, bytes) per block for `BroadcastFm` (normalized pilot)."""
+    pilot_taps = 317  # 18.75-19.25 kHz bandpass at 250 kHz (bandpass est.)
+    # FFT overlap-save pilot filter: fwd+pointwise+inv per sample
+    flops = (
+        26.0 * C * n_if                    # quadrature discriminator
+        + 15.0 * C * n_if * _flog2(4 * pilot_taps)  # pilot FIR (fft path)
+        + 25.0 * C * n_if                  # vco normalize + L/R decode
+    )
+    c64, f32 = 8.0, 4.0
+    bytes_ = (
+        C * n_if * c64                     # IF read
+        + 6 * C * n_if * f32               # mpx/pilot/vco intermediates
+        + 2 * C * n_if * 2 * f32           # stereo write (+1 read later)
+    )
+    return flops, bytes_
+
+
+def audio_model(resamp, deemph, C: int, n_if: int, n_af: int) -> tuple[float, float]:
+    """(flops, bytes) for the audio polyphase resample + deemphasis."""
+    tpp = getattr(getattr(resamp, "resamp", None), "taps_per_phase", 16)
+    rows = 2 * C  # stereo x channels
+    ntaps_de = getattr(deemph, "_ntaps", 64) or 64
+    flops = 2.0 * rows * n_af * tpp + 2.0 * rows * n_af * ntaps_de
+    f32 = 4.0
+    bytes_ = rows * n_if * f32 + 3 * rows * n_af * f32
+    return flops, bytes_
+
+
+def spectrum_model(spec, block_len: int) -> tuple[float, float]:
+    frames = block_len // spec.interval
+    n = spec.fft_size
+    flops = fft_flops(n, frames) + 8.0 * frames * n  # window+|.|^2+log
+    bytes_ = frames * n * (8 + 8 + 4) + block_len * 8
+    return flops, bytes_
+
+
+def slope_time(step, state0, k1: int = 4, k2: int = 16, reps: int = 3) -> float:
+    """Per-iteration device time via the two-K slope (RTT cancels).
+
+    ``step(state, salt) -> (state, out)`` must mix the float32 ``salt``
+    scalar into its INPUT data; the scan feeds each iteration's salt from
+    the previous output, creating a true serial dependency so XLA cannot
+    hoist the (otherwise loop-invariant) work out of the loop.
+    """
+
+    def run(k):
+        @jax.jit
+        def scan_k(st):
+            def body(carry, _):
+                s, salt = carry
+                s, out = step(s, salt)
+                leaves = jax.tree_util.tree_leaves(out)
+                salt = (jnp.real(jnp.sum(leaves[0])) * 1e-24).astype(
+                    jnp.float32
+                )
+                return (s, salt), ()
+
+            carry, _ = jax.lax.scan(
+                body, (st, jnp.float32(0)), None, length=k
+            )
+            return carry
+
+        st, salt = scan_k(state0)  # compile + run once
+        float(jnp.sum(jnp.abs(jax.tree_util.tree_leaves(st)[0])))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            st2, salt2 = scan_k(state0)
+            float(salt2) + float(
+                jnp.sum(jnp.abs(jax.tree_util.tree_leaves(st2)[0]))
+            )
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = run(k1), run(k2)
+    return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
+def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS) -> dict:
+    """Per-stage roofline table for a `WbfmMultiVfoPipeline` block."""
+    from .graph.compile import complexify, realify
+
+    block_len = pipe.block_len
+    C = pipe.n_channels
+    n_if = pipe.channelizer.out_len(block_len)
+    n_af = pipe.audio_resamp.out_len(n_if)
+    re = jax.device_put(np.ascontiguousarray(x.real, np.float32))
+    im = jax.device_put(np.ascontiguousarray(x.imag, np.float32))
+
+    # stage inputs generated once, kept on device in REAL layout (the
+    # axon backend cannot transfer complex arrays host<->device)
+    @jax.jit
+    def _gen_inputs(re_, im_):
+        st_c = complexify(realify(pipe.channelizer.init_state()))
+        _, y = pipe.channelizer(st_c, jax.lax.complex(re_, im_))
+        _, (s, _r) = pipe.demod(pipe.demod.init_state(), y)
+        return jnp.real(y), jnp.imag(y), s
+
+    y_re, y_im, stereo = _gen_inputs(re, im)
+
+    stages = {}
+
+    def add(name, step_fn, state0, model):
+        # one eager step stabilizes broadcastable state leaf shapes
+        # (scalar IIR carries -> per-channel) before the scan carry
+        state0, _ = step_fn(state0, jnp.float32(0))
+        t = slope_time(step_fn, state0)
+        flops, bytes_ = model
+        gflops = flops / t / 1e9
+        gbps = bytes_ / t / 1e9
+        intensity = flops / bytes_
+        balance = peaks["flops_f32"] / (peaks["hbm_gbps"] * 1e9)
+        stages[name] = {
+            "ms_per_block": round(t * 1e3, 4),
+            "gflop_per_s": round(gflops, 1),
+            "hbm_gb_per_s": round(gbps, 1),
+            "mfu": round(gflops * 1e9 / peaks["flops_f32"], 4),
+            "hbm_util": round(gbps / peaks["hbm_gbps"], 4),
+            "intensity_flop_per_byte": round(intensity, 2),
+            "bound": "compute" if intensity > balance else "memory",
+        }
+
+    def chan_step(rst, salt):
+        st, y = pipe.channelizer(
+            complexify(rst), jax.lax.complex(re + salt, im)
+        )
+        return realify(st), y
+
+    add("channelizer", chan_step, realify(pipe.channelizer.init_state()),
+        channelizer_model(pipe.channelizer.fused, block_len))
+
+    def demod_step(rst, salt):
+        st, (s, _) = pipe.demod(
+            complexify(rst), jax.lax.complex(y_re + salt, y_im)
+        )
+        return realify(st), s
+
+    add("wfm_demod", demod_step, realify(pipe.demod.init_state()),
+        wfm_model(pipe.demod, C, n_if))
+
+    def audio_step(rst, salt):
+        st = complexify(rst)
+        s1, a = pipe.audio_resamp(st["rs"], stereo + salt)
+        s2, a = pipe.deemph(st["de"], a)
+        return realify({"rs": s1, "de": s2}), a
+
+    add("audio_resamp_deemph", audio_step,
+        realify({"rs": pipe.audio_resamp.init_state(),
+                 "de": pipe.deemph.init_state()}),
+        audio_model(pipe.audio_resamp, pipe.deemph, C, n_if, n_af))
+
+    if pipe.spectrum is not None:
+        def spec_step(rst, salt):
+            _, s = pipe.spectrum((), jax.lax.complex(re + salt, im))
+            return jnp.maximum(rst, jnp.max(s)), s
+
+        add("spectrum", spec_step, jnp.float32(-1e30),
+            spectrum_model(pipe.spectrum, block_len))
+
+    total_t = sum(s["ms_per_block"] for s in stages.values()) / 1e3
+    total_flops = 0.0
+    total_bytes = 0.0
+    for name, model in (
+        ("channelizer", channelizer_model(pipe.channelizer.fused, block_len)),
+        ("wfm_demod", wfm_model(pipe.demod, C, n_if)),
+        ("audio_resamp_deemph",
+         audio_model(pipe.audio_resamp, pipe.deemph, C, n_if, n_af)),
+    ):
+        total_flops += model[0]
+        total_bytes += model[1]
+    if pipe.spectrum is not None:
+        m = spectrum_model(pipe.spectrum, block_len)
+        total_flops += m[0]
+        total_bytes += m[1]
+    return {
+        "hardware": peaks["name"],
+        "peak_f32_tflops": round(peaks["flops_f32"] / 1e12, 1),
+        "peak_hbm_gbps": peaks["hbm_gbps"],
+        "stages": stages,
+        "pipeline_mfu": round(total_flops / total_t / peaks["flops_f32"], 4),
+        "pipeline_hbm_util": round(
+            total_bytes / total_t / (peaks["hbm_gbps"] * 1e9), 4
+        ),
+    }

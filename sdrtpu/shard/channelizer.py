@@ -360,6 +360,29 @@ class FftDecimatorChain(StreamOp):
             st["hf"] = self._hf_folded  # (C, R, nif)
         return st
 
+    def retune_state(self, state, offsets_hz, samplerate: float,
+                     stages) -> dict:
+        """Retune WITHOUT retracing: swap the offset-dependent tables.
+
+        Every per-offset constant of this chain — the modulated filter
+        spectra ``hf`` and the residual rotator's phase tables — lives in
+        the STATE pytree, not in the traced program, so retuning is a
+        host-side rebuild of those tables (milliseconds) + a state swap.
+        The carried input tail is offset-independent (it is the shared
+        wideband history) and is preserved, exactly like the reference's
+        live ``tempStop -> mutate -> tempStart`` reconfiguration keeps
+        FIR histories (``rational_resampler.h:54-70``).
+        """
+        fresh = FftDecimatorChain(
+            offsets_hz, samplerate, stages, self.block_len
+        )
+        assert fresh.nfft == self.nfft and fresh.ratio == self.ratio, (
+            "retune changed the FFT plan; rebuild the chain instead"
+        )
+        new = fresh.init_state()
+        new["tail"] = state["tail"]
+        return new
+
     def out_len(self, n: int) -> int:
         return n // self.ratio
 
@@ -545,6 +568,34 @@ class Channelizer(StreamOp):
 
     def out_len(self, n: int) -> int:
         return self.resampler.out_len(n)
+
+    def retune_state(self, state, offsets_hz) -> dict:
+        """Move all VFO offsets without retracing (FFT method only).
+
+        Host-rebuilds the fused front's offset tables (see
+        `FftDecimatorChain.retune_state`) and keeps every carried tail:
+        per-channel IF histories are dimensionally identical across
+        offsets, so the swap causes only a filter-length transient —
+        the same behavior as the reference's live setOffset
+        (``rx_vfo.h:72-77``).
+        """
+        if self.method != "fft":
+            raise NotImplementedError(
+                f"state-swap retune needs the fft channelizer "
+                f"(method={self.method}); rebuild instead"
+            )
+        offsets = np.asarray(offsets_hz, np.float64)
+        assert offsets.shape == self.offsets.shape
+        stages = [
+            (np.asarray(s.taps), s.decimation)
+            for s in self.resampler.predecim.stages
+        ]
+        st = dict(state)
+        st["fused"] = self.fused.retune_state(
+            state["fused"], offsets, self.resampler.in_samplerate, stages
+        )
+        self.offsets = offsets
+        return st
 
     def __call__(self, state, x):
         st = dict(state)

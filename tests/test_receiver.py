@@ -234,3 +234,65 @@ class TestFlushTrim:
         rx.flush()
         n_audio = sum(a.shape[-1] for a in audio)
         assert n_audio == round(n_in * 48000.0 / fs)
+
+
+class TestRetuneWithoutRetrace:
+    def test_pipeline_retune_state(self):
+        """Moving all VFO offsets must not retrace the jitted step and
+        must demodulate the new stations (VERDICT r1 #4)."""
+        import jax
+        import jax.numpy as jnp
+        from sdrtpu.apps.wbfm_pipeline import WbfmMultiVfoPipeline
+        from sdrtpu.graph.compile import complexify, realify
+
+        fs = 2_000_000.0
+        block = 4000
+        offs_a = np.array([-600e3, -200e3, 200e3, 600e3])
+        offs_b = np.array([-500e3, -100e3, 300e3, 700e3])
+        pipe = WbfmMultiVfoPipeline(offs_a, fs, block,
+                                    channelizer_method="fft")
+
+        def make(offsets, n_blocks, f_mod):
+            t = np.arange(n_blocks * block) / fs
+            x = np.zeros(t.shape, np.complex128)
+            for i, f0 in enumerate(offsets):
+                mpx = (0.45 * np.sin(2 * np.pi * f_mod * t)
+                       + 0.1 * np.sin(2 * np.pi * 19000.0 * t))
+                ph = np.cumsum(2 * np.pi * 75000.0 * mpx / fs)
+                x += 0.2 * np.exp(1j * (2 * np.pi * f0 * t + ph))
+            return x.astype(np.complex64)
+
+        traces = 0
+
+        @jax.jit
+        def step(rst, re, im):
+            nonlocal traces
+            traces += 1
+            st, a = pipe(complexify(rst), jax.lax.complex(re, im))
+            return realify(st), a
+
+        rst = realify(pipe.init_state())
+        xa = make(offs_a, 4, 700.0)
+        for blk in xa.reshape(4, block):
+            rst, a = step(rst, blk.real.copy(), blk.imag.copy())
+        n_traces_before = traces
+
+        # retune: same program, new state tables
+        rst = realify(pipe.retune_state(complexify(rst), offs_b))
+        n_post = 24
+        xb = make(offs_b, n_post, 1100.0)
+        outs = []
+        for blk in xb.reshape(n_post, block):
+            rst, a = step(rst, blk.real.copy(), blk.imag.copy())
+            outs.append(np.asarray(a))
+        assert traces == n_traces_before, "retune caused a retrace"
+
+        # the new stations demodulate: 1100 Hz tone dominates (skip the
+        # retune transient, use enough audio for ~20 Hz resolution)
+        mono = np.concatenate([o[0] for o in outs[4:]], axis=-1)
+        for c in range(4):
+            seg = mono[c]
+            spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+            spec[:5] = 0
+            peak = np.fft.rfftfreq(len(seg), 1 / 48000.0)[np.argmax(spec)]
+            assert abs(peak - 1100.0) < 30.0, (c, peak)
