@@ -105,7 +105,14 @@ def main(argv=None) -> int:
         "samplerate": fs,
         "running": False,
     }
-    menu = smgui.RemoteMenu(ServerMenu(menu_state).draw)
+    # Shared module-menu surface (apps/menus.py): the baseband server
+    # registers its source panel; receiver-hosting apps register
+    # scanner/recorder/radio panels into the same registry.
+    from .menus import MenuRegistry
+
+    registry = MenuRegistry()
+    registry.register("Source", ServerMenu(menu_state).draw)
+    menu = registry.remote()
     server = SdrppServer(
         args.addr, args.port, samplerate=fs,
         tune_callback=lambda f: tuned.update(freq=f),
