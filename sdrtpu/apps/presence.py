@@ -73,3 +73,103 @@ def file_sink(path: str) -> Callable[[dict], None]:
             f.write("\n")
 
     return sink
+
+
+class DiscordIpc:
+    """Discord local-IPC rich-presence transport (no SDK needed).
+
+    Speaks the daemon's actual wire protocol — the same one the
+    reference's vendored discord-rpc SDK implements
+    (``misc_modules/discord_integration``): a unix socket at
+    ``$XDG_RUNTIME_DIR/discord-ipc-N`` carrying little-endian
+    ``(opcode u32, length u32)``-framed JSON.  Opcode 0 = HANDSHAKE
+    ({"v": 1, "client_id": ...}), 1 = FRAME (SET_ACTIVITY command),
+    2 = CLOSE.
+
+    Usable directly as a `PresencePublisher` sink::
+
+        ipc = DiscordIpc(client_id="834590435708108840")
+        pub = PresencePublisher(sinks=[ipc])
+    """
+
+    OP_HANDSHAKE, OP_FRAME, OP_CLOSE = 0, 1, 2
+
+    def __init__(self, client_id: str, socket_path: str | None = None):
+        import os
+        import socket as _socket
+        import struct as _struct
+        import uuid
+
+        self._struct = _struct
+        self._uuid = uuid
+        self.client_id = str(client_id)
+        self._sock = None
+        paths = [socket_path] if socket_path else [
+            os.path.join(
+                os.environ.get("XDG_RUNTIME_DIR", "/tmp"),
+                f"discord-ipc-{i}",
+            )
+            for i in range(10)
+        ]
+        last = None
+        for p in paths:
+            try:
+                s = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+                s.settimeout(2.0)
+                s.connect(p)
+                self._sock = s
+                break
+            except OSError as e:
+                last = e
+        if self._sock is None:
+            raise OSError(f"no Discord IPC socket reachable: {last}")
+        self._send(self.OP_HANDSHAKE, {"v": 1, "client_id": self.client_id})
+        self._recv()  # READY dispatch
+
+    def _send(self, op: int, payload: dict) -> None:
+        data = json.dumps(payload).encode()
+        self._sock.sendall(self._struct.pack("<II", op, len(data)) + data)
+
+    def _recv(self) -> tuple[int, dict]:
+        hdr = b""
+        while len(hdr) < 8:
+            chunk = self._sock.recv(8 - len(hdr))
+            if not chunk:
+                raise OSError("IPC socket closed")
+            hdr += chunk
+        op, length = self._struct.unpack("<II", hdr)
+        body = b""
+        while len(body) < length:
+            chunk = self._sock.recv(length - len(body))
+            if not chunk:
+                raise OSError("IPC socket closed")
+            body += chunk
+        return op, json.loads(body or b"{}")
+
+    def set_activity(self, details: str, state: str = "",
+                     start: float | None = None) -> None:
+        import os
+
+        activity = {"details": details}
+        if state:
+            activity["state"] = state
+        if start is not None:
+            activity["timestamps"] = {"start": int(start)}
+        self._send(self.OP_FRAME, {
+            "cmd": "SET_ACTIVITY",
+            "nonce": str(self._uuid.uuid4()),
+            "args": {"pid": os.getpid(), "activity": activity},
+        })
+
+    def __call__(self, st: dict) -> None:
+        """PresencePublisher sink: push the status as an activity."""
+        self.set_activity(st.get("details", ""), st.get("app", ""))
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._send(self.OP_CLOSE, {})
+            except OSError:
+                pass
+            self._sock.close()
+            self._sock = None

@@ -3,6 +3,7 @@
 import socket
 import time
 
+import json
 import numpy as np
 
 from sdrtpu.apps.frequency_manager import Bookmark, FrequencyManager
@@ -213,3 +214,64 @@ class TestMetrics:
         snap = m.snapshot()
         assert snap["throughput"]["receiver.input"]["total_samples"] == n
         assert any(k.startswith("audio.v0") for k in snap["gauges"]) or got
+
+
+class TestDiscordIpc:
+    """Presence over the real Discord IPC wire protocol (fake daemon)."""
+
+    def _fake_daemon(self, path, received):
+        import socket as sk
+        import struct
+        import threading
+
+        srv = sk.socket(sk.AF_UNIX, sk.SOCK_STREAM)
+        srv.bind(path)
+        srv.listen(1)
+
+        def serve():
+            conn, _ = srv.accept()
+            try:
+                while True:
+                    hdr = b""
+                    while len(hdr) < 8:
+                        c = conn.recv(8 - len(hdr))
+                        if not c:
+                            return
+                        hdr += c
+                    op, length = struct.unpack("<II", hdr)
+                    body = b""
+                    while len(body) < length:
+                        body += conn.recv(length - len(body))
+                    received.append((op, json.loads(body)))
+                    if op == 0:  # handshake -> READY
+                        ready = json.dumps(
+                            {"cmd": "DISPATCH", "evt": "READY"}
+                        ).encode()
+                        conn.sendall(struct.pack("<II", 1, len(ready)) + ready)
+                    if op == 2:
+                        return
+            finally:
+                conn.close()
+                srv.close()
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+        return t
+
+    def test_handshake_and_activity(self, tmp_path):
+        from sdrtpu.apps.presence import DiscordIpc, PresencePublisher
+
+        path = str(tmp_path / "discord-ipc-0")
+        received = []
+        t = self._fake_daemon(path, received)
+        ipc = DiscordIpc("12345", socket_path=path)
+        pub = PresencePublisher(sinks=[ipc])
+        assert pub.update(93.5e6, "wfm", now=0.0)
+        ipc.close()
+        t.join(timeout=5)
+        ops = [op for op, _ in received]
+        assert ops[0] == 0 and received[0][1] == {"v": 1, "client_id": "12345"}
+        frames = [p for op, p in received if op == 1]
+        assert frames and frames[0]["cmd"] == "SET_ACTIVITY"
+        assert frames[0]["args"]["activity"]["details"] == "93.5MHz - wfm"
+        assert ops[-1] == 2  # clean CLOSE
