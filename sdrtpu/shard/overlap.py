@@ -73,6 +73,74 @@ def time_sharded_fir(
     return fn(global_tail, x)
 
 
+def time_sharded_relock(
+    mesh: Mesh,
+    op,
+    x: jax.Array,
+    x_tail: jax.Array,
+    relock: int,
+    axis_name: str = "time",
+    out_spec=None,
+):
+    """Time-shard a SEQUENTIAL-carry StreamOp via prefix relock.
+
+    Feedback loops (PLL/AGC/deemphasis/clock recovery) carry state that
+    cannot be split exactly across time shards (SURVEY §7 "hard part").
+    Prefix relock is overlap-save for nonlinear loops: EVERY shard runs
+    the op from a reset state over [relock-sample prefix ++ local span]
+    and discards the prefix outputs — the loops re-acquire on the prefix,
+    so only the residual acquisition error after ``relock`` samples
+    survives.  Prefixes come from the left neighbor via `ppermute`;
+    shard 0 uses the carried ``x_tail`` (the previous global block's
+    trailing input samples; zeros for a fresh stream).  No op state
+    crosses shard or block boundaries — the only carried value is the
+    input tail, which keeps the scheme deterministic regardless of shard
+    count.
+
+    For the WFM chain (pilot PLL bw 25000/fs, 317-tap pilot FIR), a few
+    thousand prefix samples put the residual ~40 dB under the audio
+    (tests/test_shard.py::TestPrefixRelock).  This is the single-channel
+    time-scaling escape hatch; carry-free chains should use exact halo
+    exchange (`time_sharded_fir` / `time_sharded_channelizer`) instead.
+
+    ``op`` must be rate-preserving (out_len(n) == n).  Returns
+    ``(new_x_tail, y)`` with ``y`` sharded like ``x``; for outputs whose
+    time axis is not the first (e.g. (2, n) stereo) pass ``out_spec``
+    (e.g. ``P(None, "time")``, a pytree prefix over the op's output).
+    """
+
+    def f(tail_rep, x_local):
+        idx = jax.lax.axis_index(axis_name)
+        n_dev = jax.lax.axis_size(axis_name)
+        left = halo_exchange_left(x_local, relock, axis_name)
+        left = jnp.where(idx == 0, tail_rep, left)
+        ext = jnp.concatenate([left, x_local], axis=-1)
+        # seed the reset state with a varying zero so lax.scan carries
+        # inside the op typecheck under shard_map's manual axes
+        v0 = jnp.real(ext[..., 0]) * 0
+        st0 = jax.tree_util.tree_map(
+            lambda l: jnp.asarray(l) + v0.astype(jnp.asarray(l).dtype),
+            op.init_state(),
+        )
+        _, y = op(st0, ext)
+        y = jax.tree_util.tree_map(lambda a: a[..., relock:], y)
+        contrib = jnp.where(
+            idx == n_dev - 1,
+            x_local[..., -relock:],
+            jnp.zeros_like(x_local[..., -relock:]),
+        )
+        new_tail = jax.lax.psum(contrib, axis_name)
+        return new_tail, y
+
+    fn = shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=(P(), out_spec if out_spec is not None else P(axis_name)),
+    )
+    return fn(x_tail, x)
+
+
 def time_sharded_channelizer(
     mesh: Mesh,
     chain,

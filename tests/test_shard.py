@@ -263,3 +263,106 @@ class TestShardedFlagship:
         # in both implementations, flushed once the 317-tap pilot FIR
         # fills (~1.3 IF blocks).  Steady state must be bit-close.
         assert max(errs[2:]) < 1e-4, errs
+
+
+class TestPrefixRelock:
+    """SURVEY §7 hard part: sequential feedback loops time-sharded via
+    prefix relock — the single-channel time-scaling path."""
+
+    def _wfm_signal(self, fs, n):
+        t = np.arange(n) / fs
+        L = np.sin(2 * np.pi * 440.0 * t)
+        R = np.sin(2 * np.pi * 1200.0 * t)
+        mpx = (0.45 * (L + R) / 2 + 0.1 * np.sin(2 * np.pi * 19000.0 * t)
+               + 0.45 * ((L - R) / 2) * np.sin(2 * np.pi * 38000.0 * t))
+        ph = np.cumsum(2 * np.pi * 75000.0 * mpx / fs)
+        return (0.8 * np.exp(1j * ph)).astype(np.complex64)
+
+    def test_wfm_pll_chain_time_shards(self):
+        """Full WFM stereo demod with the SEQUENTIAL pilot PLL, sharded
+        over 8 time shards: relock residual must sit ~40 dB under the
+        audio, and streaming across global blocks must be seamless."""
+        from sdrtpu.kernels.wfm import BroadcastFm
+        from sdrtpu.shard.overlap import time_sharded_relock
+        from sdrtpu.graph.block import StreamOp
+
+        fs = 250_000.0
+        relock = 6000
+        n_local = 8000
+        N = 8 * n_local
+
+        class StereoOnly(StreamOp):
+            def __init__(self):
+                self.op = BroadcastFm(75000.0, fs, stereo=True,
+                                      low_pass=True, pilot_mode="pll")
+
+            def init_state(self):
+                return self.op.init_state()
+
+            def __call__(self, state, x):
+                st, (stereo, _) = self.op(state, x)
+                return st, stereo
+
+        op = StereoOnly()
+        x = self._wfm_signal(fs, 2 * N)
+
+        # unsharded streaming reference
+        ref_op = StereoOnly()
+        st = ref_op.init_state()
+        refs = []
+        for blk in x.reshape(2, N):
+            st, y = ref_op(st, jnp.asarray(blk))
+            refs.append(np.asarray(y))
+        ref = np.concatenate(refs, axis=-1)
+
+        mesh = make_mesh(n_channel=1, n_time=8)
+        tail = jnp.zeros(relock, jnp.complex64)
+        outs = []
+        for blk in x.reshape(2, N):
+            tail, y = time_sharded_relock(
+                mesh, op, jnp.asarray(blk), tail, relock,
+                out_spec=P(None, "time"),
+            )
+            outs.append(np.asarray(y))
+        got = np.concatenate(outs, axis=-1)
+
+        assert got.shape == ref.shape
+        # skip the global stream's own startup transient
+        skip = 12000
+        err = got[:, skip:] - ref[:, skip:]
+        snr = 10 * np.log10(np.sum(ref[:, skip:] ** 2)
+                            / max(np.sum(err ** 2), 1e-30))
+        assert snr > 40.0, snr
+
+    def test_relock_tail_carried(self):
+        """The carried value is the input tail; block boundaries must not
+        leave a seam (shard 0 of block k relocks on block k-1's tail)."""
+        from sdrtpu.kernels.iir import Deemphasis
+        from sdrtpu.shard.overlap import time_sharded_relock
+
+        fs = 48000.0
+        relock = 2048
+        N = 8 * 4000
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(2 * N).astype(np.float32)
+
+        op = Deemphasis(50e-6, fs)
+        st = op.init_state()
+        refs = []
+        for blk in x.reshape(2, N):
+            st, y = op(st, jnp.asarray(blk))
+            refs.append(np.asarray(y))
+        ref = np.concatenate(refs)
+
+        mesh = make_mesh(n_channel=1, n_time=8)
+        tail = jnp.zeros(relock, jnp.float32)
+        outs = []
+        for blk in x.reshape(2, N):
+            tail, y = time_sharded_relock(
+                mesh, op, jnp.asarray(blk), tail, relock
+            )
+            outs.append(np.asarray(y))
+        got = np.concatenate(outs)
+        # 1-pole IIR forgets in ~tau*fs samples << relock: all samples
+        # after the very first global block's first shard match tightly
+        np.testing.assert_allclose(got[relock:], ref[relock:], atol=2e-5)
