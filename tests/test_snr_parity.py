@@ -1,11 +1,13 @@
-"""Quantitative demod quality floors (BASELINE "demod SNR parity").
+"""Quantitative demod quality floors (regression guard).
 
-The reference cannot be built in this environment (its fftw3/volk deps are
-absent), so parity is asserted as quantitative quality floors on synthetic
-captures: each demodulator must recover a known test tone with at least
-the listed SINAD — values chosen at, or above, what a correct textbook
-implementation of the reference chain achieves.  Regressions in any
-kernel along a chain show up here as SINAD drops.
+NOTE: actual reference parity lives in tests/test_oracle_parity.py,
+which replays committed IQ captures through literal NumPy ports of the
+reference per-sample chains (tests/refdsp_oracle.py) and pins sdrtpu's
+output waveform-level.  This file keeps the complementary ABSOLUTE
+quality floors: each demodulator must recover a known test tone with at
+least the listed SINAD, so a regression that degraded both sdrtpu and
+its oracle-tracked behavior equally (e.g. a bad filter design change)
+still fails here.
 """
 
 import numpy as np
