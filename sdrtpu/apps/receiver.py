@@ -74,6 +74,7 @@ class Vfo(StreamOp):
                  emit_iq: bool = False):
         self.cfg = cfg
         self.emit_iq = emit_iq
+        self.in_samplerate = float(in_samplerate)
         self.xlator = FreqXlator(-cfg.offset_hz, in_samplerate)
         self.radio = RadioChain(
             cfg.mode,
@@ -89,6 +90,30 @@ class Vfo(StreamOp):
 
     def block_multiple(self) -> int:
         return self.ddc.block_multiple() * self.radio.block_multiple()
+
+    def bind(self, block_len: int) -> None:
+        """Fix the input block length: switch the DDC mixer to the
+        state-table `TunableXlator` so `retune_state` can move the VFO
+        without retracing."""
+        from ..kernels.mixer import TunableXlator
+
+        if not isinstance(self.xlator, TunableXlator):
+            self.xlator = TunableXlator(
+                -self.cfg.offset_hz, self.in_samplerate, block_len
+            )
+
+    def retune_state(self, state, offset_hz: float) -> dict:
+        """Move this VFO's offset via a state-table swap (bound VFOs)."""
+        from ..kernels.mixer import TunableXlator
+
+        if not isinstance(self.xlator, TunableXlator):
+            raise NotImplementedError(
+                "retune_state needs a bound VFO (Receiver binds at build)"
+            )
+        st = dict(state)
+        st["xl"] = self.xlator.retune_state(state["xl"], -float(offset_hz))
+        self.cfg.offset_hz = float(offset_hz)
+        return st
 
     def init_state(self):
         return {
@@ -169,7 +194,7 @@ class IQFrontend(StreamOp):
         length for its chunk plan and mixer tables, so grouping happens
         here rather than in ``__init__``.  Idempotent per length.
         """
-        if not self._fuse or self._bound_len == block_len:
+        if self._bound_len == block_len:
             return
         if self._bound_len is not None:
             # the fused channelizers and any live Receiver state are
@@ -182,21 +207,26 @@ class IQFrontend(StreamOp):
         from ..shard.channelizer import Channelizer
 
         inner = block_len // self.decimation
-        by_rate: dict[float, list[str]] = {}
+        if self._fuse:
+            by_rate: dict[float, list[str]] = {}
+            for name, vfo in self.vfos.items():
+                by_rate.setdefault(vfo.radio.if_rate, []).append(name)
+            self._groups = {}
+            for if_rate, names in by_rate.items():
+                if len(names) < 2:
+                    continue
+                offsets = [self.vfos[n].cfg.offset_hz for n in names]
+                try:
+                    chan = Channelizer(
+                        offsets, self.effective_samplerate, if_rate, inner
+                    )
+                except (AssertionError, ValueError):
+                    continue  # no valid plan for this length: stay per-VFO
+                self._groups[if_rate] = (names, chan)
+        grouped = self._grouped_names()
         for name, vfo in self.vfos.items():
-            by_rate.setdefault(vfo.radio.if_rate, []).append(name)
-        self._groups = {}
-        for if_rate, names in by_rate.items():
-            if len(names) < 2:
-                continue
-            offsets = [self.vfos[n].cfg.offset_hz for n in names]
-            try:
-                chan = Channelizer(
-                    offsets, self.effective_samplerate, if_rate, inner
-                )
-            except (AssertionError, ValueError):
-                continue  # no valid plan for this length: stay per-VFO
-            self._groups[if_rate] = (names, chan)
+            if name not in grouped:
+                vfo.bind(inner)  # state-table mixer: retune w/o retrace
         self._bound_len = block_len
 
     def _grouped_names(self) -> set:
@@ -204,6 +234,37 @@ class IQFrontend(StreamOp):
         for names, _ in self._groups.values():
             out.update(names)
         return out
+
+    def retune(self, state, name: str, offset_hz: float):
+        """Move one VFO without retracing the compiled program.
+
+        ``state`` is the complex-domain frontend state; returns the
+        updated state.  Grouped (fused-channelizer) VFOs swap the whole
+        group's offset tables; per-VFO paths swap their mixer tables.
+        The reference analog is ``VFOManager::setOffset`` -> live
+        ``RxVFO::setOffset`` (``vfo_manager.cpp:30-42``).
+        """
+        if name not in self.vfos:
+            raise KeyError(name)
+        st = dict(state)
+        for if_rate, (names, chan) in self._groups.items():
+            if name in names:
+                offsets = [
+                    offset_hz if n == name else self.vfos[n].cfg.offset_hz
+                    for n in names
+                ]
+                key = f"{if_rate:.0f}"
+                new_chan = dict(st["chan"])
+                new_chan[key] = chan.retune_state(st["chan"][key], offsets)
+                st["chan"] = new_chan
+                self.vfos[name].cfg.offset_hz = float(offset_hz)
+                return st
+        new_vfos = dict(st["vfos"])
+        new_vfos[name] = self.vfos[name].retune_state(
+            st["vfos"][name], offset_hz
+        )
+        st["vfos"] = new_vfos
+        return st
 
     def init_state(self):
         grouped = self._grouped_names()
@@ -323,6 +384,12 @@ class Receiver:
         self._step_scan = _step_scan
         self._rstate = realify(frontend.init_state())
         self._warmed = False
+
+    def retune(self, name: str, offset_hz: float) -> None:
+        """Live-retune one VFO: state-table swap, no recompilation."""
+        st = complexify(self._rstate)
+        st = self.frontend.retune(st, name, offset_hz)
+        self._rstate = realify(st)
 
     def warmup(self) -> None:
         """Compile the processing step ahead of live data.

@@ -75,3 +75,63 @@ class FreqXlator(StreamOp):
         y = x * jax.lax.complex(jnp.cos(angles), jnp.sin(angles))
         new_phase = jnp.mod(state + np.float32(self._block_delta(n)), np.float32(_TWO_PI))
         return new_phase, y
+
+
+class TunableXlator(StreamOp):
+    """`FreqXlator` variant whose phase tables live in the STATE pytree.
+
+    Same hierarchical wrapped-ramp math, but the per-block tables are
+    state leaves instead of trace-time constants, so the offset can be
+    changed by a host-side table swap with NO retrace
+    (`retune_state`) — the live-retune path for per-VFO DDCs, matching
+    the reference's mutate-in-place ``setOffset`` (``rx_vfo.h:72-77``).
+    The block length is fixed at construction (bind time).
+    """
+
+    def __init__(self, offset_hz: float, samplerate: float, block_len: int):
+        self.offset_hz = float(offset_hz)
+        self.samplerate = float(samplerate)
+        self.block_len = int(block_len)
+
+    def _tables(self, offset_hz: float) -> dict:
+        omega = _TWO_PI * (float(offset_hz) / self.samplerate)
+        n = self.block_len
+        fine = min(_FINE, n)
+        n_coarse = -(-n // fine)
+        return {
+            "fine": np.mod(
+                omega * np.arange(fine, dtype=np.float64), _TWO_PI
+            ).astype(np.float32),
+            "coarse": np.mod(
+                omega * fine * np.arange(n_coarse, dtype=np.float64), _TWO_PI
+            ).astype(np.float32),
+            "delta": np.float32(np.mod(omega * n, _TWO_PI)),
+        }
+
+    def init_state(self):
+        st = self._tables(self.offset_hz)
+        st["phase"] = np.float32(0.0)
+        return st
+
+    def retune_state(self, state, offset_hz: float) -> dict:
+        """Swap in tables for a new offset; phase stays continuous."""
+        self.offset_hz = float(offset_hz)
+        st = self._tables(offset_hz)
+        st["phase"] = state["phase"]
+        return st
+
+    def __call__(self, state, x):
+        n = x.shape[-1]
+        assert n == self.block_len, (n, self.block_len)
+        coarse = jnp.asarray(state["coarse"])
+        fine = jnp.asarray(state["fine"])
+        angles = (coarse[:, None] + fine[None, :]).reshape(-1)[:n]
+        angles = jnp.mod(
+            angles + jnp.asarray(state["phase"]), np.float32(_TWO_PI)
+        )
+        y = x * jax.lax.complex(jnp.cos(angles), jnp.sin(angles))
+        new_phase = jnp.mod(
+            jnp.asarray(state["phase"]) + jnp.asarray(state["delta"]),
+            np.float32(_TWO_PI),
+        )
+        return {**state, "phase": new_phase}, y

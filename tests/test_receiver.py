@@ -296,3 +296,62 @@ class TestRetuneWithoutRetrace:
             spec[:5] = 0
             peak = np.fft.rfftfreq(len(seg), 1 / 48000.0)[np.argmax(spec)]
             assert abs(peak - 1100.0) < 30.0, (c, peak)
+
+
+class TestReceiverRetune:
+    def _capture(self, fs, offset, f_mod, n):
+        return make_nfm_capture(fs, offset, f_mod, n)
+
+    def test_per_vfo_retune_no_retrace(self, monkeypatch):
+        """Single (ungrouped) VFO moves offset live, with no retrace of
+        the frontend program (the expensive part on TPU; the jit layer
+        may add a cache KEY for the swapped host leaves, but it reuses
+        the lowered program — measured end to end in bench_retune.py)."""
+        fs = 400000.0
+        fe = IQFrontend(fs, {"v0": VfoConfig(50000.0, "nfm")}, spectrum=False)
+        traces = []
+        orig = IQFrontend.__call__
+        monkeypatch.setattr(
+            IQFrontend, "__call__",
+            lambda self, st, x: traces.append(1) or orig(self, st, x),
+        )
+        audio = []
+        rx = Receiver(fe, block_len=4 * fe.block_multiple(),
+                      audio_sinks={"v0": audio.append})
+        rx.push(self._capture(fs, 50000.0, 800.0, 4 * rx.block_len))
+        n_traces = len(traces)
+        rx.retune("v0", -75000.0)
+        audio.clear()
+        rx.push(self._capture(fs, -75000.0, 1300.0, 24 * rx.block_len))
+        assert len(traces) == n_traces, "retune retraced the program"
+        a = np.concatenate(audio, axis=-1)[0]
+        assert abs(dominant_tone(a[len(a) // 2:], 48000.0) - 1300.0) < 20.0
+
+    def test_fused_group_retune_no_retrace(self, monkeypatch):
+        """A VFO inside a fused channelizer group moves live."""
+        fs = 2_000_000.0
+        fe = IQFrontend(
+            fs,
+            {"a": VfoConfig(-400000.0, "nfm"), "b": VfoConfig(300000.0, "nfm")},
+            spectrum=False,
+        )
+        traces = []
+        orig = IQFrontend.__call__
+        monkeypatch.setattr(
+            IQFrontend, "__call__",
+            lambda self, st, x: traces.append(1) or orig(self, st, x),
+        )
+        audio_b = []
+        rx = Receiver(
+            fe, block_len=4 * fe.block_multiple(),
+            audio_sinks={"b": audio_b.append},
+        )
+        assert fe._groups, "expected a fused same-IF-rate group"
+        rx.push(self._capture(fs, 300000.0, 900.0, 4 * rx.block_len))
+        n_traces = len(traces)
+        rx.retune("b", 550000.0)
+        audio_b.clear()
+        rx.push(self._capture(fs, 550000.0, 1700.0, 24 * rx.block_len))
+        assert len(traces) == n_traces, "retune retraced the program"
+        a = np.concatenate(audio_b, axis=-1)[0]
+        assert abs(dominant_tone(a[len(a) // 2:], 48000.0) - 1700.0) < 25.0
