@@ -97,3 +97,29 @@ class TestBandPlan:
         bp2 = BandPlan.load(path)
         assert len(bp2.bands) == len(bp.bands)
         assert bp2.lookup(14.1e6)[0].name == "20m Amateur"
+
+
+class TestBundledData:
+    def test_all_bandplans_load(self):
+        import glob
+
+        from sdrtpu.apps.bandplan import BandPlan
+
+        plans = glob.glob("res/bandplans/*.json")
+        assert len(plans) >= 21  # the reference ships 21 country plans
+        for p in plans:
+            bp = BandPlan.load(p)
+            assert bp.bands, p
+            for b in bp.bands:
+                assert b.end > b.start >= 0, (p, b.name)
+
+    def test_all_colormaps_build_palettes(self):
+        import glob
+
+        from sdrtpu.apps.waterfall import build_palette, load_colormap
+
+        maps = glob.glob("res/colormaps/*.json")
+        assert len(maps) >= 10
+        for m in maps:
+            lut = build_palette(load_colormap(m))
+            assert lut.shape[0] >= 256 and np.isfinite(lut).all(), m
