@@ -594,3 +594,41 @@ class RefRdsDemod:
             out[i] = (int(hard[i]) - int(self.last) + 2) % 2
             self.last = hard[i]
         return out, sym
+
+
+class RefPowerSquelch:
+    """Block squelch (``noise_reduction/power_squelch.h:33-50``)."""
+
+    def __init__(self, level_db):
+        self.level = F32(level_db)
+
+    def process(self, x):
+        x = np.asarray(x)
+        mean = F32(np.abs(x).astype(F32).sum() / F32(len(x)))
+        if F32(10.0) * F32(np.log10(max(mean, 1e-30))) >= self.level:
+            return x.copy()
+        return np.zeros_like(x)
+
+
+class RefNoiseBlanker:
+    """Impulse blanker (``noise_reduction/noise_blanker.h:38-57``)."""
+
+    def __init__(self, rate, level):
+        self.rate = F32(rate)
+        self.inv_rate = F32(1.0 - rate)
+        self.level = F32(level)
+        self.amp = F32(1.0)
+
+    def process(self, x):
+        x = np.asarray(x)
+        out = np.empty_like(x)
+        for i in range(len(x)):
+            in_amp = F32(abs(x[i]))
+            gain = F32(1.0)
+            if in_amp != 0.0:
+                self.amp = F32(self.amp * self.inv_rate + in_amp * self.rate)
+                excess = F32(in_amp / self.amp)
+                if excess > self.level:
+                    gain = F32(1.0 / excess)
+            out[i] = x[i] * gain
+        return out

@@ -391,3 +391,115 @@ class TestMeteorParity:
         sb_want = quantize_soft(want[:m])
         byte_match = (sb_got == sb_want).mean()
         assert byte_match > 0.99, byte_match
+
+
+class TestMoreKernelOracles:
+    """Standalone per-sample oracles for the remaining recurrences."""
+
+    def test_deemphasis(self):
+        fs, iq = fixture("nfm_50k.wav")
+        m = np.angle(iq[1:] * np.conj(iq[:-1])).astype(np.float32)
+        from sdrtpu.kernels.iir import Deemphasis
+
+        o = ref.RefDeemphasis(50e-6, fs)
+        k = Deemphasis(50e-6, fs)
+        got = run_blocks(k, m, 2500)
+        want = np.concatenate(
+            [o.process(m[i: i + 2500]) for i in range(0, len(m) - 2499, 2500)]
+        )
+        np.testing.assert_allclose(got, want[: len(got)], atol=2e-5)
+
+    def test_dc_blocker(self):
+        fs, iq = fixture("am_15k.wav")
+        env = np.abs(iq).astype(np.float32)
+        from sdrtpu.kernels.iir import DcBlocker
+
+        o = ref.RefDcBlocker(50.0 / fs)
+        k = DcBlocker(50.0 / fs, dtype=np.float32)
+        got = run_blocks(k, env, 1500)
+        want = np.concatenate(
+            [o.process(env[i: i + 1500]) for i in range(0, len(env) - 1499, 1500)]
+        )
+        np.testing.assert_allclose(got, want[: len(got)], atol=2e-5)
+
+    def test_costas_orders(self):
+        from sdrtpu.kernels.loops import Costas
+
+        rng = np.random.default_rng(9)
+        n = 6000
+        t = np.arange(n)
+        for order in (2, 4, 8):
+            m = 2 if order == 2 else order
+            syms = np.exp(1j * (2 * np.pi * rng.integers(0, m, n) / m))
+            cfo = np.exp(1j * (0.01 * t + 0.5))
+            x = (syms * cfo + 0.01 * (rng.standard_normal(n)
+                 + 1j * rng.standard_normal(n))).astype(np.complex64)
+            o = ref.RefCostas(order, 0.01)
+            k = Costas(order, 0.01)
+            got = run_blocks(k, x, 1000)
+            want = np.concatenate(
+                [o.process(x[i: i + 1000]) for i in range(0, n, 1000)]
+            )
+            err = np.abs(got[500:] - want[500: len(got)])
+            assert np.median(err) < 1e-3, (order, np.median(err))
+
+    def test_meteor_costas_broken_modulation(self):
+        from sdrtpu.kernels.psk import MeteorCostas
+
+        fs, iq = fixture("meteor_qpsk_150k.wav")
+        x = iq[:40000]
+        o = ref.RefMeteorCostas(0.01, broken_modulation=True)
+        k = MeteorCostas(0.01, broken_modulation=True)
+        got = run_blocks(k, x, 8000)
+        want = np.concatenate(
+            [o.process(x[i: i + 8000]) for i in range(0, 40000, 8000)]
+        )
+        err = np.abs(got[4000:] - want[4000:])
+        assert np.median(err) < 2e-3, np.median(err)
+
+    def test_fast_agc_standalone(self):
+        from sdrtpu.kernels.psk import FastAgc
+
+        fs, iq = fixture("meteor_qpsk_150k.wav")
+        x = iq[:30000]
+        o = ref.RefFastAgc(1.0, 10e6, 0.001)
+        k = FastAgc(1.0, 10e6, 0.001)
+        got = run_blocks(k, x, 6000)
+        want = np.concatenate(
+            [o.process(x[i: i + 6000]) for i in range(0, 30000, 6000)]
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_power_squelch(self):
+        from sdrtpu.kernels.squelch import PowerSquelch
+
+        fs, iq = fixture("cw_3k.wav")
+        o = ref.RefPowerSquelch(-20.0)
+        k = PowerSquelch(-20.0)
+        # 150-sample blocks = one 50 ms key cell each, so the keyed
+        # carrier toggles the gate across blocks
+        got = run_blocks(k, iq, 150)
+        want = np.concatenate(
+            [o.process(iq[i: i + 150]) for i in range(0, len(iq) - 149, 150)]
+        )
+        want = want[: len(got)]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        blocks = got.reshape(-1, 150)
+        gated = np.all(blocks == 0, axis=1)
+        assert gated.any() and not gated.all()
+
+    def test_noise_blanker(self):
+        from sdrtpu.kernels.squelch import NoiseBlanker
+
+        fs, iq = fixture("nfm_50k.wav")
+        x = iq[:20000].copy()
+        rng = np.random.default_rng(4)
+        spikes = rng.choice(len(x), 40, replace=False)
+        x[spikes] *= 30.0  # impulse noise
+        o = ref.RefNoiseBlanker(500.0 / 24000.0, 10.0)
+        k = NoiseBlanker(500.0 / 24000.0, 10.0)
+        got = run_blocks(k, x, 4000)
+        want = np.concatenate(
+            [o.process(x[i: i + 4000]) for i in range(0, 20000, 4000)]
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
