@@ -165,22 +165,30 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS) -> dict:
     im = jax.device_put(np.ascontiguousarray(x.imag, np.float32))
 
     # stage inputs generated once, kept on device in REAL layout (the
-    # axon backend cannot transfer complex arrays host<->device)
+    # axon backend cannot transfer complex arrays host<->device, so
+    # complex state must enter as realified ARGUMENTS, never closed-over
+    # complex numpy constants)
     @jax.jit
-    def _gen_inputs(re_, im_):
-        st_c = complexify(realify(pipe.channelizer.init_state()))
-        _, y = pipe.channelizer(st_c, jax.lax.complex(re_, im_))
-        _, (s, _r) = pipe.demod(pipe.demod.init_state(), y)
+    def _gen_inputs(re_, im_, chan_r, demod_r):
+        _, y = pipe.channelizer(complexify(chan_r),
+                                jax.lax.complex(re_, im_))
+        _, (s, _r) = pipe.demod(complexify(demod_r), y)
         return jnp.real(y), jnp.imag(y), s
 
-    y_re, y_im, stereo = _gen_inputs(re, im)
+    y_re, y_im, stereo = _gen_inputs(
+        re, im,
+        realify(pipe.channelizer.init_state()),
+        realify(pipe.demod.init_state()),
+    )
 
     stages = {}
 
     def add(name, step_fn, state0, model):
-        # one eager step stabilizes broadcastable state leaf shapes
-        # (scalar IIR carries -> per-channel) before the scan carry
-        state0, _ = step_fn(state0, jnp.float32(0))
+        # one jitted step stabilizes broadcastable state leaf shapes
+        # (scalar IIR carries -> per-channel) before the scan carry;
+        # jitted, not eager — eager op-by-op dispatch pays the tunnel
+        # RTT per op on remote backends
+        state0, _ = jax.jit(step_fn)(state0, jnp.float32(0))
         t = slope_time(step_fn, state0)
         flops, bytes_ = model
         gflops = flops / t / 1e9
