@@ -111,7 +111,7 @@ def spectrum_model(spec, block_len: int) -> tuple[float, float]:
     return flops, bytes_
 
 
-def slope_time(step, state0, k1: int = 4, k2: int = 16, reps: int = 3) -> float:
+def slope_time(step, state0, k1: int = 8, k2: int = 96, reps: int = 3) -> float:
     """Per-iteration device time via the two-K slope (RTT cancels).
 
     ``step(state, salt) -> (state, out)`` must mix the float32 ``salt``
@@ -195,7 +195,7 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS) -> dict:
         gbps = bytes_ / t / 1e9
         intensity = flops / bytes_
         balance = peaks["flops_f32"] / (peaks["hbm_gbps"] * 1e9)
-        stages[name] = {
+        entry = {
             "ms_per_block": round(t * 1e3, 4),
             "gflop_per_s": round(gflops, 1),
             "hbm_gb_per_s": round(gbps, 1),
@@ -204,6 +204,14 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS) -> dict:
             "intensity_flop_per_byte": round(intensity, 2),
             "bound": "compute" if intensity > balance else "memory",
         }
+        # a slope under the timer/RTT noise floor yields nonsense
+        # utilizations; flag instead of reporting impossible numbers
+        if entry["hbm_util"] > 1.0 or entry["mfu"] > 1.0:
+            entry["unresolved"] = (
+                "stage time below timing resolution at this block size; "
+                "increase block_len or slope K"
+            )
+        stages[name] = entry
 
     def chan_step(rst, salt):
         st, y = pipe.channelizer(
