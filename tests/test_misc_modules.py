@@ -275,3 +275,64 @@ class TestDiscordIpc:
         assert frames and frames[0]["cmd"] == "SET_ACTIVITY"
         assert frames[0]["args"]["activity"]["details"] == "93.5MHz - wfm"
         assert ops[-1] == 2  # clean CLOSE
+
+
+class TestModuleCom:
+    """ModuleComManager named-interface RPC (module_com.h parity)."""
+
+    def test_registry_semantics(self):
+        from sdrtpu.apps.module_com import ModuleComManager
+
+        mc = ModuleComManager()
+        calls = []
+        assert mc.register_interface("radio", "Radio",
+                                     lambda c, a: calls.append((c, a)) or 42)
+        assert not mc.register_interface("other", "Radio", lambda c, a: 0)
+        assert mc.interface_exists("Radio")
+        assert mc.get_module_name("Radio") == "radio"
+        assert mc.call_interface("Radio", 1, "x") == 42
+        assert calls == [(1, "x")]
+        assert mc.unregister_interface("Radio")
+        assert not mc.interface_exists("Radio")
+        try:
+            mc.call_interface("Radio", 0)
+            assert False
+        except KeyError:
+            pass
+
+    def test_radio_interface_over_receiver(self):
+        import jax
+
+        from sdrtpu.apps.module_com import (
+            RADIO_IFACE_CMD_GET_BANDWIDTH,
+            RADIO_IFACE_CMD_GET_MODE,
+            RADIO_IFACE_CMD_SET_MODE,
+            RADIO_IFACE_CMD_SET_SQUELCH_LEVEL,
+            RADIO_IFACE_CMD_GET_SQUELCH_LEVEL,
+            RADIO_IFACE_CMD_SET_SQUELCH_MODE,
+            RADIO_IFACE_CMD_GET_SQUELCH_MODE,
+            RADIO_IFACE_MODES,
+            ModuleComManager,
+            RadioInterface,
+        )
+        from sdrtpu.apps.receiver import IQFrontend, Receiver, VfoConfig
+
+        fs = 400000.0
+        fe = IQFrontend(fs, {"v0": VfoConfig(50000.0, "nfm")}, spectrum=False)
+        rx = Receiver(fe, block_len=fe.block_multiple())
+        rebuilds = []
+        mc = ModuleComManager()
+        mc.register_interface(
+            "radio", "Radio",
+            RadioInterface(rx, "v0", lambda: rebuilds.append(1)))
+        assert RADIO_IFACE_MODES[mc.call_interface(
+            "Radio", RADIO_IFACE_CMD_GET_MODE)] == "nfm"
+        mc.call_interface("Radio", RADIO_IFACE_CMD_SET_MODE,
+                          RADIO_IFACE_MODES.index("am"))
+        assert fe.vfos["v0"].cfg.mode == "am" and len(rebuilds) == 1
+        assert mc.call_interface("Radio", RADIO_IFACE_CMD_GET_BANDWIDTH) is None
+        mc.call_interface("Radio", RADIO_IFACE_CMD_SET_SQUELCH_MODE, True)
+        assert mc.call_interface("Radio", RADIO_IFACE_CMD_GET_SQUELCH_MODE)
+        mc.call_interface("Radio", RADIO_IFACE_CMD_SET_SQUELCH_LEVEL, -37.0)
+        assert mc.call_interface(
+            "Radio", RADIO_IFACE_CMD_GET_SQUELCH_LEVEL) == -37.0
