@@ -71,6 +71,7 @@ class RadioChain(StreamOp):
         deemphasis: float | None = "default",
         stereo: bool = True,
         rds: bool = False,
+        ctcss_tone: int | None = None,
     ):
         info = dict(MODE_INFO[mode])
         if mode == "raw":
@@ -84,6 +85,15 @@ class RadioChain(StreamOp):
         self.nb = NoiseBlanker() if noise_blanker else None
         self.squelch = PowerSquelch(squelch_db) if squelch_db is not None else None
         self.fmnr = FmIfNoiseReduction(32) if fm_if_nr else None
+        # CTCSS gate on the demodulated audio ahead of the AF resampler —
+        # the reference afChain order (radio_module.h:98-110)
+        if ctcss_tone is not None:
+            from ..kernels.ctcss import CtcssSquelch
+
+            self.ctcss = CtcssSquelch(self.if_rate, required_tone=ctcss_tone)
+        else:
+            self.ctcss = None
+        self.ctcss_tone_detected = None  # host-readable after each block
 
         if mode == "wfm":
             self.demod = BroadcastFm(
@@ -117,13 +127,17 @@ class RadioChain(StreamOp):
         self.deemph = Deemphasis(deemphasis, audio_rate) if deemphasis else None
 
     def block_multiple(self) -> int:
-        return self.resamp.block_multiple()
+        m = self.resamp.block_multiple()
+        if self.ctcss is not None:
+            m = int(np.lcm(m, self.ctcss.block_multiple()))
+        return m
 
     def init_state(self):
         return {
             "nb": self.nb.init_state() if self.nb else (),
             "sq": self.squelch.init_state() if self.squelch else (),
             "fmnr": self.fmnr.init_state() if self.fmnr else (),
+            "ctcss": self.ctcss.init_state() if self.ctcss else (),
             "demod": self.demod.init_state() if self.demod else (),
             "resamp": self.resamp.init_state(),
             "hpf": self.hpf.init_state() if self.hpf else (),
@@ -150,6 +164,8 @@ class RadioChain(StreamOp):
             st["demod"], mono = self.demod(state["demod"], x)
             audio = jnp.stack([mono, mono])
 
+        if self.ctcss:
+            st["ctcss"], (audio, _tone) = self.ctcss(state["ctcss"], audio)
         st["resamp"], a = self.resamp(state["resamp"], audio.astype(jnp.complex64))
         a = a.real
         if self.hpf:

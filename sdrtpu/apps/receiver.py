@@ -41,6 +41,7 @@ class VfoConfig:
     bandwidth: float | None = None
     squelch_db: float | None = None
     stereo: bool = True
+    ctcss_tone: int | None = None
 
 
 class BlockFramer:
@@ -82,6 +83,7 @@ class Vfo(StreamOp):
             bandwidth=cfg.bandwidth,
             squelch_db=cfg.squelch_db,
             stereo=cfg.stereo,
+            ctcss_tone=cfg.ctcss_tone,
         )
         # DDC targets the chain's actual IF rate (RAW mode overrides
         # MODE_INFO's nominal rate with the audio rate, radio_module's

@@ -171,3 +171,35 @@ class TestThemeManager:
         assert tm.get_theme_names() == ["Ok"]
         with pytest.raises(ValueError):
             decode_color("#FF000080\n")  # trailing newline rejected
+
+
+class TestCtcssInRadioChain:
+    def test_nfm_chain_gates_on_tone(self):
+        """RadioChain(ctcss_tone=...) passes audio with the right
+        sub-audible tone and mutes without it (afChain order parity)."""
+        import jax.numpy as jnp
+        from sdrtpu.apps.radio import RadioChain
+        from sdrtpu.kernels.ctcss import CTCSS_TONES
+
+        tone_idx = 12  # 100 Hz
+        fs_if = 50000.0
+
+        def run(with_tone):
+            chain = RadioChain("nfm", ctcss_tone=tone_idx)
+            n = chain.block_multiple()
+            while n < 2 * fs_if:
+                n *= 2
+            t = np.arange(n) / fs_if
+            msg = 0.6 * np.sin(2 * np.pi * 900.0 * t)
+            if with_tone:
+                msg = msg + 0.15 * np.sin(
+                    2 * np.pi * float(CTCSS_TONES[tone_idx]) * t
+                )
+            iq = np.exp(1j * np.cumsum(2 * np.pi * 2500.0 * msg / fs_if))
+            st = chain.init_state()
+            st, a = chain(st, jnp.asarray(iq.astype(np.complex64)))
+            # trailing audio reflects the settled squelch decision
+            return np.asarray(a)[:, -4000:]
+
+        assert np.abs(run(True)).max() > 0.05, "tone-bearing audio muted"
+        assert np.abs(run(False)).max() < 1e-6, "tone-less audio not muted"
