@@ -139,6 +139,12 @@ def main():
         "vs_baseline": round(msps / 100.0, 3),
     }
 
+    # The throughput line goes out FIRST so a timeout during the (compile-
+    # heavy, ~5 min on a cold cache) roofline profile can never lose the
+    # primary metric; a successful profile re-prints the enriched line
+    # (consumers take the last JSON line).
+    print(json.dumps(result), flush=True)
+
     # Roofline/MFU accounting (BASELINE "kernels at roofline"): per-stage
     # achieved FLOP/s + HBM GB/s vs chip peaks via the slope method.
     if os.environ.get("SDRTPU_BENCH_PROFILE", "1") != "0":
@@ -150,14 +156,14 @@ def main():
                 log(f"  roofline {name}: {s['ms_per_block']} ms/blk, "
                     f"{s['gflop_per_s']} GFLOP/s (mfu {s['mfu']:.1%}), "
                     f"{s['hbm_gb_per_s']} GB/s (hbm {s['hbm_util']:.1%}), "
-                    f"{s['bound']}-bound")
+                    f"{s['bound']}-bound"
+                    + (" [unresolved]" if "unresolved" in s else ""))
             result["mfu"] = prof["pipeline_mfu"]
             result["hbm_util"] = prof["pipeline_hbm_util"]
             result["roofline"] = prof
+            print(json.dumps(result), flush=True)
         except Exception as e:  # noqa: BLE001 - profile must not kill the bench
             log(f"roofline profile failed: {e!r}")
-
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":
