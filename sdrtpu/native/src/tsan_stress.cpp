@@ -112,11 +112,42 @@ int make_writer_socket(std::thread& out_thread, int64_t total,
 }
 
 void pump_stress() {
-    constexpr int64_t TOTAL = 4 * 1024 * 1024;
+    // Each 4-byte wire sample is its own little-endian sequence number,
+    // so the consumer can verify integrity even when the pump's
+    // overflow policy legitimately drops whole samples (a TSan-slowed
+    // consumer WILL overflow the ring): sequence numbers must be
+    // strictly increasing, never torn, and the missing count must match
+    // the pump's drop accounting exactly.
+    constexpr int64_t ITEMS = 1 * 1024 * 1024;
     constexpr int64_t ITEM = 4;
-    std::thread writer;
-    int rfd = make_writer_socket(writer, TOTAL, 997);
-    IngestPump* p = pump_create(rfd, 1 << 20, ITEM);
+    constexpr int64_t TOTAL = ITEMS * ITEM;
+    int fds[2];
+    if (socketpair(AF_UNIX, SOCK_STREAM, 0, fds) != 0) abort();
+    std::thread writer([wfd = fds[0]] {
+        std::mt19937 rng(3);
+        std::vector<uint8_t> buf;
+        int64_t item = 0;
+        while (item < ITEMS) {
+            int64_t want = 1 + rng() % 2048;
+            if (want > ITEMS - item) want = ITEMS - item;
+            buf.resize(want * ITEM);
+            for (int64_t i = 0; i < want; i++) {
+                uint32_t v = (uint32_t)(item + i);
+                memcpy(&buf[i * ITEM], &v, 4);
+            }
+            // stream sockets may send short; advance by actual bytes
+            int64_t off = 0;
+            while (off < (int64_t)buf.size()) {
+                ssize_t n = send(wfd, buf.data() + off, buf.size() - off,
+                                 MSG_NOSIGNAL);
+                if (n <= 0) { close(wfd); return; }
+                off += n;
+            }
+            item += want;
+        }
+        close(wfd);
+    });
+    IngestPump* p = pump_create(fds[1], 64 * 1024, ITEM);
     std::atomic<bool> done{false};
     std::thread poller([&] {  // concurrent stats reads (the GUI/metrics path)
         while (!done.load()) {
@@ -126,25 +157,42 @@ void pump_stress() {
             (void)pump_available(p);
         }
     });
-    std::vector<uint8_t> buf(64 * 1024);
-    int64_t got = 0;
-    while (got < TOTAL && !(pump_state(p) != 0 && pump_available(p) == 0)) {
-        int64_t n = pump_read(p, buf.data(), buf.size());
-        for (int64_t i = 0; i < n; i++) {
-            if (buf[i] != (uint8_t)((got + i) & 0xFF)) {
+    std::vector<uint8_t> buf(64 * 1024 + ITEM);
+    int64_t carry = 0;
+    int64_t got_items = 0;
+    int64_t expect = 0;  // next sequence number must be >= this
+    while (!(pump_state(p) != 0 && pump_available(p) == 0)) {
+        int64_t n = pump_read(p, buf.data() + carry, 64 * 1024);
+        if (n == 0) continue;
+        int64_t total = carry + n;
+        int64_t whole = (total / ITEM) * ITEM;
+        for (int64_t i = 0; i < whole; i += ITEM) {
+            uint32_t v;
+            memcpy(&v, &buf[i], 4);
+            if ((int64_t)v < expect || (int64_t)v >= ITEMS) {
                 fprintf(stderr, "pump data corruption at %lld\n",
-                        (long long)(got + i));
+                        (long long)v);
                 abort();
             }
+            expect = (int64_t)v + 1;
+            got_items++;
         }
-        got += n;
+        carry = total - whole;
+        if (carry) memmove(buf.data(), buf.data() + whole, carry);
     }
     done.store(true);
     poller.join();
     writer.join();
-    if (got != TOTAL) { fprintf(stderr, "pump lost data\n"); abort(); }
+    if (carry != 0) { fprintf(stderr, "pump left a torn sample\n"); abort(); }
+    int64_t dropped = pump_dropped_bytes(p);
+    if (got_items * ITEM + dropped != TOTAL) {
+        fprintf(stderr, "pump accounting mismatch: got %lld dropped %lld\n",
+                (long long)(got_items * ITEM), (long long)dropped);
+        abort();
+    }
     pump_destroy(p);
-    printf("pump_stress OK (%lld bytes)\n", (long long)TOTAL);
+    printf("pump_stress OK (%lld items, %lld dropped, accounted)\n",
+           (long long)got_items, (long long)(dropped / ITEM));
 }
 
 void overrun_stress() {
