@@ -5,7 +5,10 @@ BASELINE.md primary metric: IQ Msamples/s/chip for the WBFM + 8-VFO chain
 audio).  Baseline target is 10x real-time at the 10 Msps input rate, i.e.
 100 Msamples/s/chip; ``vs_baseline`` = achieved / 100 Msps.
 
-Prints ONE JSON line to stdout; diagnostics go to stderr.
+Prints its result as JSON lines on stdout (diagnostics on stderr): the
+throughput line is emitted as soon as it is measured, and a successful
+roofline profile re-emits it enriched with mfu/hbm_util/roofline —
+consumers take the LAST JSON line.
 
 Batched dispatch: K input blocks are processed per device dispatch with
 `lax.scan` — the framework's steady-state execution mode (one fused XLA

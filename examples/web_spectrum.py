@@ -49,6 +49,10 @@ def main() -> int:
     rx.warmup()
 
     block = rx.block_len
+    if iq is not None and len(iq) < block:
+        print(f"input too short: {len(iq)} samples < one {block}-sample "
+              "block; record a longer capture", file=sys.stderr)
+        return 1
     t0 = 0
     try:
         while True:

@@ -72,10 +72,11 @@ class ModuleComManager:
 class RadioInterface:
     """radio_interface.h handler over a `Receiver` VFO.
 
-    Mode/squelch SETs that change the program shape rebuild lazily via
-    the provided ``rebuild`` callback (the reference swaps demod chains
-    live the same way, ``radio_module.h:780-842``); squelch level
-    changes on an existing squelch are state-only.
+    SETs that actually change the configuration invoke the provided
+    ``rebuild`` callback (the reference swaps demod chains live the same
+    way, ``radio_module.h:780-842``); no-op SETs are ignored.  The
+    squelch level is a trace constant of `PowerSquelch`, so level
+    changes rebuild too — amortized by the persistent compile cache.
     """
 
     def __init__(self, receiver, vfo_name: str, rebuild: Callable | None = None):
@@ -101,23 +102,23 @@ class RadioInterface:
         if code == RADIO_IFACE_CMD_GET_BANDWIDTH:
             return cfg.bandwidth
         if code == RADIO_IFACE_CMD_SET_BANDWIDTH:
-            cfg.bandwidth = float(arg)
-            if self.rebuild:
-                self.rebuild()
+            if cfg.bandwidth != float(arg):
+                cfg.bandwidth = float(arg)
+                if self.rebuild:
+                    self.rebuild()
             return None
         if code == RADIO_IFACE_CMD_GET_SQUELCH_MODE:
             return cfg.squelch_db is not None
         if code == RADIO_IFACE_CMD_SET_SQUELCH_MODE:
-            cfg.squelch_db = (-50.0 if arg else None) if (
-                bool(arg) != (cfg.squelch_db is not None)
-            ) else cfg.squelch_db
-            if self.rebuild:
-                self.rebuild()
+            if bool(arg) != (cfg.squelch_db is not None):
+                cfg.squelch_db = -50.0 if arg else None
+                if self.rebuild:
+                    self.rebuild()
             return None
         if code == RADIO_IFACE_CMD_GET_SQUELCH_LEVEL:
             return cfg.squelch_db
         if code == RADIO_IFACE_CMD_SET_SQUELCH_LEVEL:
-            if cfg.squelch_db is not None:
+            if cfg.squelch_db is not None and cfg.squelch_db != float(arg):
                 cfg.squelch_db = float(arg)
                 if self.rebuild:
                     self.rebuild()

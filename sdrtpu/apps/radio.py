@@ -93,7 +93,6 @@ class RadioChain(StreamOp):
             self.ctcss = CtcssSquelch(self.if_rate, required_tone=ctcss_tone)
         else:
             self.ctcss = None
-        self.ctcss_tone_detected = None  # host-readable after each block
 
         if mode == "wfm":
             self.demod = BroadcastFm(
@@ -125,6 +124,15 @@ class RadioChain(StreamOp):
         if deemphasis == "default":
             deemphasis = info["deemp"]
         self.deemph = Deemphasis(deemphasis, audio_rate) if deemphasis else None
+
+    @staticmethod
+    def ctcss_tone_detected(state) -> int | None:
+        """Host-side read of the decoded CTCSS tone index from a chain
+        state pytree (None when no CTCSS gate is configured)."""
+        st = state.get("ctcss") if isinstance(state, dict) else None
+        if not st:
+            return None
+        return int(np.asarray(st["tone"]))
 
     def block_multiple(self) -> int:
         m = self.resamp.block_multiple()

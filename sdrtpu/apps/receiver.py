@@ -18,6 +18,7 @@ retuning or toggling blocks builds a new program (cached by XLA).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -358,6 +359,11 @@ class Receiver:
         # time blocks).
         self.scan_batch = int(scan_batch)
         self._pending: list[np.ndarray] = []
+        # guards _rstate: retune() may be called from another thread
+        # (webview/rigctl) while a dispatch is updating the state — the
+        # reference serializes the same way with its ctrlMtx
+        # (``block.h:46-62``)
+        self._state_lock = threading.Lock()
         # structured observability (SURVEY §5.5): input throughput +
         # real-time factor, per-sink audio level gauges
         self.metrics = metrics
@@ -388,10 +394,15 @@ class Receiver:
         self._warmed = False
 
     def retune(self, name: str, offset_hz: float) -> None:
-        """Live-retune one VFO: state-table swap, no recompilation."""
-        st = complexify(self._rstate)
-        st = self.frontend.retune(st, name, offset_hz)
-        self._rstate = realify(st)
+        """Live-retune one VFO: state-table swap, no recompilation.
+
+        Thread-safe against concurrent dispatches (webview/rigctl call
+        this from their own threads).
+        """
+        with self._state_lock:
+            st = complexify(self._rstate)
+            st = self.frontend.retune(st, name, offset_hz)
+            self._rstate = realify(st)
 
     def warmup(self) -> None:
         """Compile the processing step ahead of live data.
@@ -462,7 +473,8 @@ class Receiver:
                  else block[: int(round(len(block) * valid_fraction))])
         re = np.ascontiguousarray(block.real)
         im = np.ascontiguousarray(block.imag)
-        self._rstate, (audios, spec) = self._step(self._rstate, re, im)
+        with self._state_lock:
+            self._rstate, (audios, spec) = self._step(self._rstate, re, im)
         self._emit(audios, spec, batched=False, valid_fraction=valid_fraction)
 
     def _dispatch_batch(self, blocks: list[np.ndarray]) -> None:
@@ -471,7 +483,8 @@ class Receiver:
                 sink(b)
         re = np.stack([np.ascontiguousarray(b.real) for b in blocks])
         im = np.stack([np.ascontiguousarray(b.imag) for b in blocks])
-        self._rstate, (audios, spec) = self._step_scan(self._rstate, re, im)
+        with self._state_lock:
+            self._rstate, (audios, spec) = self._step_scan(self._rstate, re, im)
         self._emit(audios, spec, batched=True)
 
     def flush(self) -> None:

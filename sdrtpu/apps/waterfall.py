@@ -151,10 +151,16 @@ class WaterfallView:
         self.view_size = int(np.clip(size, 1, self.fft_size - self.view_offset))
 
     def push(self, db_lines: np.ndarray) -> None:
-        """Append (frames, fft_size) dB lines; update fb and latest line."""
+        """Append (frames, fft_size) dB lines; update fb and latest line.
+
+        Readers (webview HTTP threads) snapshot ``fb``/``raw``/``latest``
+        without locks, so every update builds the NEW array fully and
+        only then rebinds the attribute — never mutates a published one.
+        """
         for line in np.atleast_2d(db_lines):
-            self.raw = np.roll(self.raw, 1, axis=0)
-            self.raw[0] = line
+            raw = np.roll(self.raw, 1, axis=0)
+            raw[0] = line
+            self.raw = raw
             zoomed = do_zoom(
                 line, self.view_offset, self.view_size, self.view_width
             )
@@ -175,8 +181,9 @@ class WaterfallView:
                 (zoomed - self.wf_min) / (self.wf_max - self.wf_min), 0.0, 1.0
             )
             ids = (pix * (len(self.palette) - 1)).astype(int)
-            self.fb = np.roll(self.fb, 1, axis=0)
-            self.fb[0] = self.palette[ids]
+            fb = np.roll(self.fb, 1, axis=0)
+            fb[0] = self.palette[ids]
+            self.fb = fb
 
     def latest_raw(self) -> np.ndarray:
         """Most recent raw FFT line (scanner's ``acquireLatestFFT``)."""

@@ -122,3 +122,33 @@ class TestDcBlocker:
         x = jnp.full(20000, 1.0 + 0.5j, jnp.complex64)
         st, y = op(st, x)
         assert abs(np.asarray(y)[-1]) < 1e-2
+
+
+class TestTunableXlator:
+    def test_matches_freq_xlator_bitwise(self):
+        """The state-table mixer must equal FreqXlator exactly, across
+        blocks and after a retune (golden for the live-retune path)."""
+        import jax.numpy as jnp
+
+        from sdrtpu.kernels.mixer import FreqXlator, TunableXlator
+
+        fs, n = 1_000_000.0, 4096
+        rng = np.random.default_rng(7)
+        x = (rng.standard_normal(3 * n) + 1j * rng.standard_normal(3 * n)
+             ).astype(np.complex64)
+        a = FreqXlator(123_456.0, fs)
+        b = TunableXlator(123_456.0, fs, n)
+        sa, sb = a.init_state(), b.init_state()
+        for i in range(3):
+            sa, ya = a(sa, jnp.asarray(x[i * n:(i + 1) * n]))
+            sb, yb = b(sb, jnp.asarray(x[i * n:(i + 1) * n]))
+            np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+        # retune: phase stays continuous, new rate == fresh FreqXlator
+        # started at the carried phase
+        sb = b.retune_state(sb, -50_000.0)
+        c = FreqXlator(-50_000.0, fs)
+        sc = np.float32(sb["phase"])
+        for i in range(3):
+            sc, yc = c(sc, jnp.asarray(x[i * n:(i + 1) * n]))
+            sb, yb = b(sb, jnp.asarray(x[i * n:(i + 1) * n]))
+            np.testing.assert_array_equal(np.asarray(yc), np.asarray(yb))
