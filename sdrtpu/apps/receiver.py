@@ -393,6 +393,34 @@ class Receiver:
         self._rstate = realify(frontend.init_state())
         self._warmed = False
 
+    def save_checkpoint(self, path: str) -> None:
+        """Snapshot the full DSP state mid-stream (SURVEY §5.4).
+
+        Captures loop carries, filter tails and mixer phases plus the
+        framer remainder, so a restarted process resumes bit-exactly
+        (the reference loses PLL/filter state on restart).
+        """
+        from ..graph.checkpoint import save_state
+
+        with self._state_lock:
+            save_state(path, {
+                "rstate": jax.tree_util.tree_map(np.asarray, self._rstate),
+                "framer_buf": self.framer._buf,
+            })
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore a `save_checkpoint` snapshot into this receiver."""
+        from ..graph.checkpoint import load_state
+
+        with self._state_lock:
+            like = {
+                "rstate": jax.tree_util.tree_map(np.asarray, self._rstate),
+                "framer_buf": self.framer._buf,
+            }
+            data = load_state(path, like)
+            self._rstate = data["rstate"]
+            self.framer._buf = np.asarray(data["framer_buf"], np.complex64)
+
     def retune(self, name: str, offset_hz: float) -> None:
         """Live-retune one VFO: state-table swap, no recompilation.
 
