@@ -62,6 +62,13 @@ def test_two_process_halo_exchange(tmp_path):
     script.write_text(WORKER)
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # The worker script lives in /tmp, so the repo root must be importable
+    # explicitly (cwd is NOT on sys.path for script-by-path execution).
+    # Append rather than overwrite: the TPU plugin registers via PYTHONPATH.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (env.get("PYTHONPATH"), repo) if p
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), "2", str(port)],
