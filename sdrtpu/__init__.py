@@ -48,7 +48,13 @@ def enable_compile_cache(path: str | None = None) -> str:
 
     if os.environ.get("SDRTPU_NO_CACHE"):
         return ""
-    path = path or os.environ.get("SDRTPU_CACHE_DIR") or os.path.join(
+    explicit = path or os.environ.get("SDRTPU_CACHE_DIR")
+    current = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if current and not explicit:
+        # the application already configured a cache — respect it rather
+        # than silently repointing process-global JAX config
+        return current
+    path = explicit or os.path.join(
         os.path.expanduser("~"), ".cache", "sdrtpu", "jax"
     )
     os.makedirs(path, exist_ok=True)

@@ -83,6 +83,13 @@ class RadioInterface:
         self.receiver = receiver
         self.vfo_name = vfo_name
         self.rebuild = rebuild
+        # the level is remembered independently of the enable flag (the
+        # reference stores them as separate config fields,
+        # ``radio_module.h:86-93``), so SET_LEVEL-then-enable works
+        cfg = self._cfg
+        self._squelch_level = (
+            cfg.squelch_db if cfg.squelch_db is not None else -50.0
+        )
 
     @property
     def _cfg(self):
@@ -111,13 +118,17 @@ class RadioInterface:
             return cfg.squelch_db is not None
         if code == RADIO_IFACE_CMD_SET_SQUELCH_MODE:
             if bool(arg) != (cfg.squelch_db is not None):
-                cfg.squelch_db = -50.0 if arg else None
+                cfg.squelch_db = self._squelch_level if arg else None
                 if self.rebuild:
                     self.rebuild()
             return None
         if code == RADIO_IFACE_CMD_GET_SQUELCH_LEVEL:
-            return cfg.squelch_db
+            return (
+                cfg.squelch_db if cfg.squelch_db is not None
+                else self._squelch_level
+            )
         if code == RADIO_IFACE_CMD_SET_SQUELCH_LEVEL:
+            self._squelch_level = float(arg)
             if cfg.squelch_db is not None and cfg.squelch_db != float(arg):
                 cfg.squelch_db = float(arg)
                 if self.rebuild:

@@ -123,6 +123,7 @@ class DiscordIpc:
                 last = e
         if self._sock is None:
             raise OSError(f"no Discord IPC socket reachable: {last}")
+        self._rxbuf = b""
         self._send(self.OP_HANDSHAKE, {"v": 1, "client_id": self.client_id})
         self._recv()  # READY dispatch
 
@@ -146,10 +147,37 @@ class DiscordIpc:
             body += chunk
         return op, json.loads(body or b"{}")
 
+    def _drain_replies(self) -> None:
+        """Discard queued daemon reply frames (one per command).
+
+        The daemon acks every SET_ACTIVITY; without consuming the acks a
+        long-running presence session fills the socket receive buffer
+        until the daemon's writes stall and it drops the connection.
+        Non-blocking; partial frames stay buffered across calls.
+        """
+        self._sock.setblocking(False)
+        try:
+            while True:
+                try:
+                    chunk = self._sock.recv(65536)
+                except (BlockingIOError, InterruptedError):
+                    break
+                if not chunk:
+                    raise OSError("IPC socket closed")
+                self._rxbuf += chunk
+        finally:
+            self._sock.settimeout(2.0)
+        while len(self._rxbuf) >= 8:
+            _, length = self._struct.unpack("<II", self._rxbuf[:8])
+            if len(self._rxbuf) < 8 + length:
+                break
+            self._rxbuf = self._rxbuf[8 + length:]
+
     def set_activity(self, details: str, state: str = "",
                      start: float | None = None) -> None:
         import os
 
+        self._drain_replies()
         activity = {"details": details}
         if state:
             activity["state"] = state

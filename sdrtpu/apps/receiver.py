@@ -359,11 +359,13 @@ class Receiver:
         # time blocks).
         self.scan_batch = int(scan_batch)
         self._pending: list[np.ndarray] = []
-        # guards _rstate: retune() may be called from another thread
-        # (webview/rigctl) while a dispatch is updating the state — the
-        # reference serializes the same way with its ctrlMtx
-        # (``block.h:46-62``)
-        self._state_lock = threading.Lock()
+        # guards _rstate AND the framer/pending host buffers: retune()
+        # and save_checkpoint() may be called from another thread
+        # (webview/rigctl/scheduler) while push() is framing + dispatching
+        # — the reference serializes the same way with its ctrlMtx
+        # (``block.h:46-62``).  Re-entrant: push() holds it across
+        # _dispatch, which takes it again around the state update.
+        self._state_lock = threading.RLock()
         # structured observability (SURVEY §5.5): input throughput +
         # real-time factor, per-sink audio level gauges
         self.metrics = metrics
@@ -403,9 +405,16 @@ class Receiver:
         from ..graph.checkpoint import save_state
 
         with self._state_lock:
+            # pending (framed but not yet dispatched) batch blocks are
+            # part of the un-consumed input: fold them back in FRONT of
+            # the framer remainder so the snapshot loses nothing when
+            # scan_batch > 1
+            buf = np.concatenate(
+                [*self._pending, self.framer._buf]
+            ) if self._pending else self.framer._buf
             save_state(path, {
                 "rstate": jax.tree_util.tree_map(np.asarray, self._rstate),
-                "framer_buf": self.framer._buf,
+                "framer_buf": buf,
             })
 
     def load_checkpoint(self, path: str) -> None:
@@ -419,7 +428,15 @@ class Receiver:
             }
             data = load_state(path, like)
             self._rstate = data["rstate"]
-            self.framer._buf = np.asarray(data["framer_buf"], np.complex64)
+            buf = np.asarray(data["framer_buf"], np.complex64)
+            # whole blocks in the snapshot (saved pending) go back to the
+            # pending queue; push()/drain() dispatch them before new input
+            nb = len(buf) // self.block_len
+            self._pending = [
+                buf[i * self.block_len:(i + 1) * self.block_len]
+                for i in range(nb)
+            ]
+            self.framer._buf = buf[nb * self.block_len:]
 
     def retune(self, name: str, offset_hz: float) -> None:
         """Live-retune one VFO: state-table swap, no recompilation.
@@ -446,31 +463,42 @@ class Receiver:
         # carries etc.) — both programs end up compiled
         st, _ = self._step(state0, zeros, zeros)
         self._step(st, zeros, zeros)
+        if self.scan_batch > 1:
+            # the batched path is its own XLA program; compile it on the
+            # steady-state shapes it will actually see (live streaming
+            # single-dispatches the first block, then scans)
+            zb = np.zeros((self.scan_batch, self.block_len), np.float32)
+            self._step_scan(st, zb, zb)
         self._rstate = state0
 
     def push(self, iq: np.ndarray) -> None:
         """Feed host IQ samples; dispatches as blocks/batches fill."""
         if self._thr is not None:
             self._thr.add(len(iq))
-        for block in self.framer.push(np.asarray(iq, np.complex64)):
-            if self.scan_batch <= 1:
-                self._dispatch(block)
-            else:
-                self._pending.append(block)
-                if not self._warmed:
-                    # first block goes through the single-step path so the
-                    # state pytree takes its steady shapes before scanning
-                    self._dispatch(self._pending.pop(0))
-                    self._warmed = True
-                elif len(self._pending) >= self.scan_batch:
-                    self._dispatch_batch(self._pending[: self.scan_batch])
-                    self._pending = self._pending[self.scan_batch :]
+        with self._state_lock:
+            if self.scan_batch <= 1 and self._pending:
+                self.drain()  # checkpoint-restored blocks precede new input
+            for block in self.framer.push(np.asarray(iq, np.complex64)):
+                if self.scan_batch <= 1:
+                    self._dispatch(block)
+                else:
+                    self._pending.append(block)
+                    if not self._warmed:
+                        # first block goes through the single-step path so
+                        # the state pytree takes its steady shapes before
+                        # scanning
+                        self._dispatch(self._pending.pop(0))
+                        self._warmed = True
+                    elif len(self._pending) >= self.scan_batch:
+                        self._dispatch_batch(self._pending[: self.scan_batch])
+                        self._pending = self._pending[self.scan_batch :]
 
     def drain(self) -> None:
         """Dispatch any buffered whole blocks (before flush/shutdown)."""
-        for block in self._pending:
-            self._dispatch(block)
-        self._pending = []
+        with self._state_lock:
+            for block in self._pending:
+                self._dispatch(block)
+            self._pending = []
 
     def _emit(
         self, audios, spec, batched: bool, valid_fraction: float = 1.0
@@ -523,12 +551,13 @@ class Receiver:
         (recorder durations match capture durations; the reference never
         pads because its blocks are dynamic, ``stream.h:43-92``).
         """
-        self.drain()
-        if self.framer.pending:
-            frac = self.framer.pending / self.block_len
-            pad = self.block_len - self.framer.pending
-            for block in self.framer.push(np.zeros(pad, np.complex64)):
-                self._dispatch(block, valid_fraction=frac)
+        with self._state_lock:
+            self.drain()
+            if self.framer.pending:
+                frac = self.framer.pending / self.block_len
+                pad = self.block_len - self.framer.pending
+                for block in self.framer.push(np.zeros(pad, np.complex64)):
+                    self._dispatch(block, valid_fraction=frac)
 
     def run_file(self, path: str) -> None:
         """Process a whole IQ WAV recording (file_source parity)."""

@@ -84,7 +84,7 @@ def correlate_valid(x: jax.Array, taps, stride: int = 1) -> jax.Array:
     return acc
 
 
-def correlate_valid_bank(x, taps_bank, stride: int = 1) -> jax.Array:
+def correlate_valid_bank(x, taps_bank, stride: int = 1, live=None) -> jax.Array:
     """Valid correlation against a BANK of per-channel tap vectors.
 
     Host taps ``(C, T)``; two input layouts:
@@ -100,8 +100,15 @@ def correlate_valid_bank(x, taps_bank, stride: int = 1) -> jax.Array:
     Used by the fused multi-VFO channelizer front end (per-channel
     *modulated* taps: the mixer folded into the filter).  All-zero tap
     columns (half-band filters) are skipped on the host.
+
+    ``taps_bank`` may also be a TRACED array (taps living in the state
+    pytree so retunes swap them without retracing); the zero-column skip
+    then needs the static ``live`` column list from the caller (the zero
+    pattern of modulated taps is offset-invariant), defaulting to all
+    columns.
     """
-    taps = np.asarray(taps_bank)
+    static_taps = not isinstance(taps_bank, jax.core.Tracer)
+    taps = np.asarray(taps_bank) if static_taps else taps_bank
     assert x.ndim in (1, 2) and taps.ndim == 2
     if np.iscomplexobj(taps) and not jnp.iscomplexobj(x):
         x = x.astype(jnp.complex64)
@@ -111,7 +118,11 @@ def correlate_valid_bank(x, taps_bank, stride: int = 1) -> jax.Array:
     shared = x.ndim == 1
     if not shared:
         assert x.shape[0] == C
-    live = [t for t in range(T) if np.any(taps[:, t] != 0)]
+    if live is None:
+        live = (
+            [t for t in range(T) if np.any(taps[:, t] != 0)]
+            if static_taps else list(range(T))
+        )
     out_dtype = x.dtype if not np.iscomplexobj(taps) else jnp.complex64
 
     def term(t, seg):

@@ -74,6 +74,21 @@ class MultiVfoMixer(StreamOp):
             "delta": self._delta,
         }
 
+    def retune_state(self, state, offsets_hz) -> dict:
+        """Swap the offset tables WITHOUT retracing (they live in state).
+
+        The carried phase is preserved — the reference's ``RxVFO::
+        setOffset`` likewise only changes the rotator increment
+        (``rx_vfo.h:72-77``)."""
+        fresh = MultiVfoMixer(offsets_hz, self.samplerate, self.block_len)
+        assert fresh.n_channels == self.n_channels
+        return {
+            "phase": state["phase"],
+            "coarse": fresh._coarse_t,
+            "fine": fresh._fine_t,
+            "delta": fresh._delta,
+        }
+
     def __call__(self, state, x):
         n = x.shape[-1]
         assert n == self.block_len, (
@@ -140,11 +155,17 @@ class ModulatedDecimatorChain(StreamOp):
                 1j * np.mod(omega_p[:, None] * rate_mult * t_idx, _TWO_PI)
             )
             self.stage_plan.append((mod.astype(np.complex64), M, T))
+            # live (nonzero) tap columns are offset-invariant (|h e^{jwt}|
+            # = |h|), so the shift-add unroll's zero-skip stays static
+            # even with the taps living in the state pytree
+            self._live = getattr(self, "_live", [])
+            self._live.append([t for t in range(T) if taps[t] != 0.0])
             phase0 -= omega_p * rate_mult * (T - 1)
             rate_mult *= M
             assert n % M == 0, (n, M)
             n //= M
         self.ratio = rate_mult
+        self.block_len = int(block_len)
         self.rot = MultiVfoMixer(-offsets, samplerate / rate_mult, n)
         self._phase0 = np.mod(phase0, _TWO_PI).astype(np.float32)
 
@@ -154,7 +175,31 @@ class ModulatedDecimatorChain(StreamOp):
         tails = [np.zeros(self.stage_plan[0][2] - 1, np.complex64)]
         for _, _, T in self.stage_plan[1:]:
             tails.append(np.zeros((self.n_channels, T - 1), np.complex64))
-        return {"tails": tuple(tails), "rot": rot}
+        # modulated taps live in the STATE pytree (like the FFT front's
+        # ``hf`` table) so an offset retune is a table swap, not a retrace
+        return {
+            "tails": tuple(tails),
+            "taps": tuple(mod for mod, _, _ in self.stage_plan),
+            "rot": rot,
+        }
+
+    def retune_state(self, state, offsets_hz, samplerate: float,
+                     stages) -> dict:
+        """Retune WITHOUT retracing: swap taps + rotator tables.
+
+        Same contract as `FftDecimatorChain.retune_state`: every
+        offset-dependent constant (modulated stage taps, residual-rotator
+        tables and group-delay phase) is state; carried tails are
+        offset-independent histories and are preserved."""
+        fresh = ModulatedDecimatorChain(
+            offsets_hz, samplerate, stages, self.block_len
+        )
+        assert fresh.ratio == self.ratio and len(fresh.stage_plan) == len(
+            self.stage_plan
+        ), "retune changed the stage plan; rebuild the chain instead"
+        new = fresh.init_state()
+        new["tails"] = state["tails"]
+        return new
 
     def out_len(self, n: int) -> int:
         return n // self.ratio
@@ -162,13 +207,21 @@ class ModulatedDecimatorChain(StreamOp):
     def __call__(self, state, x):
         y = x.astype(jnp.complex64)
         new_tails = []
-        for (taps_mod, M, T), tail in zip(self.stage_plan, state["tails"]):
+        for (_, M, T), tail, taps_mod, live in zip(
+            self.stage_plan, state["tails"], state["taps"], self._live
+        ):
             n = y.shape[-1]
             ext = jnp.concatenate([jnp.asarray(tail), y], axis=-1)
             new_tails.append(ext[..., n:])
-            y = correlate_valid_bank(ext, taps_mod, stride=M)  # (C, n/M)
+            y = correlate_valid_bank(
+                ext, jnp.asarray(taps_mod), stride=M, live=live
+            )  # (C, n/M)
         st_rot, y = self.rot(state["rot"], y)
-        return {"tails": tuple(new_tails), "rot": st_rot}, y
+        return {
+            "tails": tuple(new_tails),
+            "taps": state["taps"],
+            "rot": st_rot,
+        }, y
 
 
 def ModulatedDecimatorStage(offsets_hz, samplerate, taps, decimation, block_len):
@@ -320,6 +373,7 @@ class FftDecimatorChain(StreamOp):
         # intermediate outweighs the dense fold's single (P, R, nif)
         # read.  Kept opt-in for backends with cheaper gathers; default
         # (None) is the dense fold.
+        self._sparse_thresh = sparse_thresh_db
         self._sparse = False
         if sparse_thresh_db is not None:
             rowmax = np.abs(self._hf_folded).max(axis=2)  # (C, R)
@@ -374,11 +428,20 @@ class FftDecimatorChain(StreamOp):
         FIR histories (``rational_resampler.h:54-70``).
         """
         fresh = FftDecimatorChain(
-            offsets_hz, samplerate, stages, self.block_len
+            offsets_hz, samplerate, stages, self.block_len,
+            sparse_thresh_db=self._sparse_thresh,
         )
         assert fresh.nfft == self.nfft and fresh.ratio == self.ratio, (
             "retune changed the FFT plan; rebuild the chain instead"
         )
+        if fresh._sparse != self._sparse or (
+            self._sparse and fresh.rk != self.rk
+        ):
+            # the sparse row set depends on the offsets; a different live
+            # row count changes the state shapes (and thus the program)
+            raise ValueError(
+                "retune changed the sparse-fold layout; rebuild the chain"
+            )
         new = fresh.init_state()
         new["tail"] = state["tail"]
         return new
@@ -570,30 +633,37 @@ class Channelizer(StreamOp):
         return self.resampler.out_len(n)
 
     def retune_state(self, state, offsets_hz) -> dict:
-        """Move all VFO offsets without retracing (FFT method only).
+        """Move all VFO offsets without retracing.
 
-        Host-rebuilds the fused front's offset tables (see
-        `FftDecimatorChain.retune_state`) and keeps every carried tail:
-        per-channel IF histories are dimensionally identical across
-        offsets, so the swap causes only a filter-length transient —
-        the same behavior as the reference's live setOffset
-        (``rx_vfo.h:72-77``).
+        Host-rebuilds the front end's offset tables (fused FFT/xla-fused
+        chains: `FftDecimatorChain`/`ModulatedDecimatorChain`
+        ``retune_state``; plain-xla path: `MultiVfoMixer.retune_state`)
+        and keeps every carried tail: per-channel IF histories are
+        dimensionally identical across offsets, so the swap causes only a
+        filter-length transient — the same behavior as the reference's
+        live setOffset (``rx_vfo.h:72-77``).  Only the opt-in Pallas
+        method keeps its taps as trace constants and must rebuild.
         """
-        if self.method != "fft":
-            raise NotImplementedError(
-                f"state-swap retune needs the fft channelizer "
-                f"(method={self.method}); rebuild instead"
-            )
         offsets = np.asarray(offsets_hz, np.float64)
         assert offsets.shape == self.offsets.shape
-        stages = [
-            (np.asarray(s.taps), s.decimation)
-            for s in self.resampler.predecim.stages
-        ]
         st = dict(state)
-        st["fused"] = self.fused.retune_state(
-            state["fused"], offsets, self.resampler.in_samplerate, stages
-        )
+        if self.method in ("fft", "xla-fused"):
+            stages = [
+                (np.asarray(s.taps), s.decimation)
+                for s in self.resampler.predecim.stages
+            ]
+            st["fused"] = self.fused.retune_state(
+                state["fused"], offsets, self.resampler.in_samplerate, stages
+            )
+        elif self.method == "xla":
+            st["mixer"] = self.mixer.retune_state(
+                state["mixer"], [-f for f in offsets]
+            )
+        else:
+            raise NotImplementedError(
+                f"state-swap retune not supported for the opt-in "
+                f"{self.method} channelizer; rebuild instead"
+            )
         self.offsets = offsets
         return st
 

@@ -87,3 +87,54 @@ class TestReceiverCheckpoint:
         rx2.flush()
         got = np.concatenate(out1 + out2, axis=-1)
         np.testing.assert_array_equal(got, ref)
+
+    def test_scan_batch_resume_loses_nothing(self, tmp_path):
+        """With scan_batch > 1 a snapshot must also capture the framed-
+        but-not-yet-dispatched pending blocks: cut at a point where
+        blocks are sitting in the batch queue, resume in a fresh
+        receiver, and require the full-length output."""
+        import numpy as np
+
+        from sdrtpu.apps.receiver import IQFrontend, Receiver, VfoConfig
+
+        fs = 400000.0
+
+        def make_rx(sink, batch):
+            fe = IQFrontend(fs, {"v0": VfoConfig(50000.0, "nfm")},
+                            spectrum=False)
+            return Receiver(fe, block_len=fe.block_multiple(),
+                            audio_sinks={"v0": sink}, scan_batch=batch)
+
+        probe = make_rx(lambda a: None, 1)
+        blk = probe.block_len
+        n = 11 * blk + 77
+        tt = np.arange(n) / fs
+        iq = (0.4 * np.exp(1j * (2 * np.pi * 50000.0 * tt
+              + np.cumsum(2 * np.pi * 2500.0
+                          * np.sin(2 * np.pi * 700.0 * tt) / fs)))
+              ).astype(np.complex64)
+
+        ref_out = []
+        rx = make_rx(ref_out.append, 1)
+        rx.push(iq)
+        rx.flush()
+        ref = np.concatenate(ref_out, axis=-1)
+
+        # cut mid-batch: after 6 blocks + a tail, blocks 5..6 are queued
+        # in _pending (block 1 single-dispatched, blocks 2-5 batched)
+        out1 = []
+        rx1 = make_rx(out1.append, 4)
+        half = 6 * blk + 33
+        rx1.push(iq[:half])
+        assert rx1._pending, "test must cut with blocks in the batch queue"
+        ckpt = str(tmp_path / "rx.npz")
+        rx1.save_checkpoint(ckpt)
+
+        out2 = []
+        rx2 = make_rx(out2.append, 4)
+        rx2.load_checkpoint(ckpt)
+        rx2.push(iq[half:])
+        rx2.flush()
+        got = np.concatenate(out1 + out2, axis=-1)
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, atol=1e-5)

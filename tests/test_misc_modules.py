@@ -336,3 +336,12 @@ class TestModuleCom:
         mc.call_interface("Radio", RADIO_IFACE_CMD_SET_SQUELCH_LEVEL, -37.0)
         assert mc.call_interface(
             "Radio", RADIO_IFACE_CMD_GET_SQUELCH_LEVEL) == -37.0
+        # the level survives disable/enable, and a level set WHILE
+        # disabled is used at the next enable (the reference stores the
+        # level independently of the enable flag)
+        mc.call_interface("Radio", RADIO_IFACE_CMD_SET_SQUELCH_MODE, False)
+        mc.call_interface("Radio", RADIO_IFACE_CMD_SET_SQUELCH_LEVEL, -80.0)
+        assert mc.call_interface(
+            "Radio", RADIO_IFACE_CMD_GET_SQUELCH_LEVEL) == -80.0
+        mc.call_interface("Radio", RADIO_IFACE_CMD_SET_SQUELCH_MODE, True)
+        assert fe.vfos["v0"].cfg.squelch_db == -80.0

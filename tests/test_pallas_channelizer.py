@@ -327,3 +327,75 @@ class TestFftDecimator:
         ref, got = np.asarray(ref), np.asarray(got)
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got, ref, atol=4e-3 * scale)
+
+
+class TestChannelizerRetune:
+    """`Channelizer.retune_state` must cover every non-opt-in method
+    (fft, xla-fused, plain xla): after a retune plus one tail-flush
+    block, the output must match a fresh chain built at the new
+    offsets (up to the carried mixer phase on the plain-xla path)."""
+
+    @pytest.mark.parametrize("method", ["fft", "xla-fused", "xla"])
+    def test_retune_matches_fresh_chain(self, method):
+        from sdrtpu.shard.channelizer import Channelizer
+
+        fs, f_if = 10_000_000.0, 250_000.0
+        offs_a = np.array([-4e6, -1.2e6, 2e6])
+        offs_b = np.array([-3.5e6, -0.7e6, 2.5e6])
+        n = 40000
+        cz = Channelizer(offs_a, fs, f_if, n, method=method)
+        assert cz.method == method
+        blocks = [
+            (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(
+                np.complex64
+            )
+            for _ in range(4)
+        ]
+        st = cz.init_state()
+        st, _ = cz(st, jnp.asarray(blocks[0]))
+        st = cz.retune_state(st, offs_b)
+
+        fresh = Channelizer(offs_b, fs, f_if, n, method=method)
+        fst = fresh.init_state()
+        got = ref = None
+        for b in blocks[1:]:
+            st, got = cz(st, jnp.asarray(b))
+            fst, ref = fresh(fst, jnp.asarray(b))
+        got, ref = np.asarray(got), np.asarray(ref)
+        scale = np.abs(ref).max()
+        if method == "xla":
+            # the plain-xla path preserves mixer phase across the retune
+            # (RxVFO::setOffset semantics): outputs agree up to one
+            # constant per-channel phase factor
+            rot = np.sum(ref * np.conj(got), axis=-1)
+            rot /= np.abs(rot)
+            got = got * rot[:, None]
+        np.testing.assert_allclose(got, ref, atol=5e-3 * scale)
+
+    def test_retune_no_retrace(self):
+        import jax
+
+        from sdrtpu.shard.channelizer import Channelizer
+
+        fs, f_if, n = 10_000_000.0, 250_000.0, 40000
+        offs = np.array([-4e6, 2e6])
+        cz = Channelizer(offs, fs, f_if, n, method="xla-fused")
+        traces = []
+
+        @jax.jit
+        def step(st, x):
+            traces.append(1)
+            return cz(st, x)
+
+        st = cz.init_state()
+        x = jnp.asarray(
+            (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(
+                np.complex64
+            )
+        )
+        st, _ = step(st, x)
+        st, _ = step(st, x)
+        n_traces = len(traces)
+        st = cz.retune_state(st, np.array([-3e6, 1e6]))
+        st, _ = step(st, x)
+        assert len(traces) == n_traces, "retune retraced the program"
