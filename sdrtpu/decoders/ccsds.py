@@ -31,13 +31,19 @@ CONV_POLYS = (0o171, 0o133)
 
 
 def ccsds_randomizer(n_bytes: int) -> np.ndarray:
-    """CCSDS pseudo-randomizer sequence (x^8+x^7+x^5+x^3+1, init 0xFF)."""
+    """CCSDS pseudo-randomizer sequence (x^8+x^7+x^5+x^3+1, init 0xFF).
+
+    255-bit-periodic; the standard sequence begins
+    ``ff 48 0e c0 9a 0d 70 bc`` (CCSDS 131.0-B).  MSB-first output from
+    a Fibonacci LFSR whose feedback taps for this polynomial are bits
+    7, 4, 2, 0 of the shift register.
+    """
     reg = 0xFF
     out = np.empty(n_bytes, np.uint8)
     for i in range(n_bytes):
         b = 0
         for _ in range(8):
-            fb = ((reg >> 7) ^ (reg >> 6) ^ (reg >> 4) ^ (reg >> 2)) & 1
+            fb = ((reg >> 7) ^ (reg >> 4) ^ (reg >> 2) ^ reg) & 1
             b = (b << 1) | ((reg >> 7) & 1)
             reg = ((reg << 1) | fb) & 0xFF
         out[i] = b
@@ -101,23 +107,46 @@ class CcsdsEncoder:
 
 
 class CcsdsDeframer:
-    """Soft channel symbols -> CVCDU frames with RS statistics."""
+    """Soft channel symbols -> CVCDU frames with RS statistics.
+
+    Streaming: unconsumed tail symbols/bits are carried across calls
+    (bounded), so frames straddling a `process()` boundary are not lost
+    — the carried soft symbols are re-run through the Viterbi together
+    with the next block, which also heals the trellis seam.
+    """
+
+    _FRAME_BITS = 32 + FRAME_BYTES * 8
+    _MAX_TAIL_BITS = 2 * _FRAME_BITS  # bound the re-decoded carry
 
     def __init__(self):
         self.rs = ReedSolomon(nroots=32, prim_poly=0x187, fcr=112, prim=11)
         self.viterbi = ViterbiDecoder(7, CONV_POLYS)
         self.frames: list[np.ndarray] = []
         self.rs_errors: list[int] = []
+        self._soft_tail = np.zeros(0, np.float32)
+        self._bit_tail = np.zeros(0, np.uint8)
 
     def process(self, soft: np.ndarray) -> list[np.ndarray]:
         """Decode a block of soft symbols; returns new CVCDUs."""
-        decoded = np.asarray(self.viterbi.decode(np.asarray(soft, np.float32)))
-        return self.process_bits(decoded)
+        soft = np.concatenate(
+            [self._soft_tail, np.asarray(soft, np.float32)]
+        )
+        decoded = np.asarray(self.viterbi.decode(soft))
+        new, consumed = self._scan(decoded)
+        tail = soft[2 * consumed:]
+        self._soft_tail = tail[-2 * self._MAX_TAIL_BITS:]
+        return new
 
     def process_bits(self, bits: np.ndarray) -> list[np.ndarray]:
-        bits = np.asarray(bits, np.uint8)
+        """Decode a block of hard bits (post-Viterbi input path)."""
+        bits = np.concatenate([self._bit_tail, np.asarray(bits, np.uint8)])
+        new, consumed = self._scan(bits)
+        self._bit_tail = bits[consumed:][-self._MAX_TAIL_BITS:]
+        return new
+
+    def _scan(self, bits: np.ndarray) -> tuple[list[np.ndarray], int]:
         new = []
-        frame_bits = 32 + FRAME_BYTES * 8
+        frame_bits = self._FRAME_BITS
         i = 0
         while i + frame_bits <= len(bits):
             w = bits[i : i + 32]
@@ -135,7 +164,7 @@ class CcsdsDeframer:
                 i += frame_bits
             else:
                 i += 1
-        return new
+        return new, i
 
 
 def deframe_qpsk_symbols(symbols: np.ndarray, deframer: CcsdsDeframer | None = None):
@@ -153,12 +182,19 @@ def deframe_qpsk_symbols(symbols: np.ndarray, deframer: CcsdsDeframer | None = N
     Returns (frames, deframer) — the deframer keeps RS statistics.
     """
     symbols = np.asarray(symbols)
-    for rot in (symbols, symbols * np.exp(-1j * np.pi / 2)):
+    rotations = [0, 1]
+    if deframer is not None and getattr(deframer, "_rot_phase", None) == 1:
+        rotations = [1, 0]  # keep the established lock phase first
+    for k in rotations:
+        rot = symbols if k == 0 else symbols * np.exp(-1j * np.pi / 2)
         soft = np.empty(2 * len(rot), np.float32)
         soft[0::2] = rot.real
         soft[1::2] = rot.imag
-        d = deframer or CcsdsDeframer()
+        d = deframer if deframer is not None else CcsdsDeframer()
+        if getattr(d, "_rot_phase", None) not in (None, k):
+            d._soft_tail = np.zeros(0, np.float32)  # tail from other phase
         frames = d.process(soft)
         if frames:
+            d._rot_phase = k
             return frames, d
-    return [], deframer or CcsdsDeframer()
+    return [], deframer if deframer is not None else CcsdsDeframer()

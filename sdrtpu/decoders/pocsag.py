@@ -93,28 +93,42 @@ class PocsagDecoder:
         self._msg = ""
         self._char = 0
         self._char_off = 0
+        self._gap = 0
 
     def process(self, bits) -> None:
         for b in np.asarray(bits, np.uint8):
             b = int(b & 1)
             if not self.synced:
                 self.sync_sr = ((self.sync_sr << 1) | b) & 0xFFFFFFFF
+                self._gap += 1
                 if bin(self.sync_sr ^ FRAME_SYNC).count("1") <= SYNC_DIST:
                     self.synced = True
                     self.batch_bits = []
+                    self._gap = 0
+                elif self._gap == 64:
+                    # in-transmission batches are separated by exactly one
+                    # 32-bit sync codeword: a longer gap means the carrier
+                    # dropped, so the open message (if any) is complete.
+                    # (A message may span BATCHES — it ends only at the
+                    # next address/idle codeword or end of transmission.)
+                    self.flush()
                 continue
             self.batch_bits.append(b)
             if len(self.batch_bits) >= BATCH_CODEWORDS * 32:
                 self._decode_batch()
                 self.batch_bits = []
                 self.synced = False
+                self._gap = 0
 
-    def _flush(self):
+    def flush(self) -> None:
+        """End of transmission: emit any open message."""
         if self._msg:
             self.messages.append((self._addr, self._msg_type, self._msg))
-            self._msg = ""
-            self._char = 0
-            self._char_off = 0
+        self._msg = ""
+        self._char = 0
+        self._char_off = 0
+
+    _flush = flush
 
     def _decode_batch(self):
         for i in range(BATCH_CODEWORDS):
@@ -148,18 +162,22 @@ class PocsagDecoder:
                                 self._msg += chr(self._char)
                             self._char = 0
                             self._char_off = 0
-        self._flush()
+        # NO flush here: an alphanumeric message routinely continues in
+        # the next batch (after its 32-bit sync codeword); it is closed
+        # by the next address/idle codeword or by carrier drop (flush()).
 
 
 def build_transmission(
     addr: int, text: str, msg_type: int = MESSAGE_ALPHA, frame: int = 0
 ) -> np.ndarray:
-    """Encode a single-batch POCSAG transmission (for tests/tx)."""
+    """Encode a POCSAG transmission (for tests/tx).
+
+    Long messages continue across batch boundaries (each batch prefixed
+    by its own frame-sync codeword), as real pages do.
+    """
     idle = encode_codeword(IDLE_DATA)
-    cws = [idle] * BATCH_CODEWORDS
     pos = frame * 2
     addr_data = (0 << 20) | (((addr >> 3) & 0x3FFFF) << 2) | msg_type
-    cws[pos] = encode_codeword(addr_data)
     # pack message bits
     bits = []
     for ch in text:
@@ -167,19 +185,34 @@ def build_transmission(
             bits.append((ord(ch) >> k) & 1)
     while len(bits) % 20:
         bits.append(0)
-    idx = pos + 1
+    words = []
     for off in range(0, len(bits), 20):
         data = 0
         for k in range(20):
             data |= bits[off + k] << (19 - k)
-        cws[idx] = encode_codeword((1 << 20) | data)
-        idx += 1
+        words.append(encode_codeword((1 << 20) | data))
+
+    batches = []
+    cws = [idle] * BATCH_CODEWORDS
+    cws[pos] = encode_codeword(addr_data)
+    idx = pos + 1
+    for w in words:
         if idx >= BATCH_CODEWORDS:
-            break
+            batches.append(cws)
+            cws = [None] * BATCH_CODEWORDS
+            idx = 0
+        cws[idx] = w
+        idx += 1
+    for i in range(idx, BATCH_CODEWORDS):
+        cws[i] = idle
+    batches.append(cws)
+
     out = [1, 0] * 288  # preamble
-    for b in range(31, -1, -1):
-        out.append((FRAME_SYNC >> b) & 1)
-    for cw in cws:
+    for batch in batches:
         for b in range(31, -1, -1):
-            out.append((cw >> b) & 1)
+            out.append((FRAME_SYNC >> b) & 1)
+        for cw in batch:
+            for b in range(31, -1, -1):
+                out.append((cw >> b) & 1)
+    out.extend([0] * 80)  # carrier drop closes any open message
     return np.asarray(out, np.uint8)

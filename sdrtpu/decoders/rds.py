@@ -279,7 +279,9 @@ def encode_group(pi: int, group_type: int, version: int, b_low: int,
                 return check
         raise AssertionError
 
-    btypes = [BLOCK_A, BLOCK_B, BLOCK_CP if (version and group_type != 0) else BLOCK_C, BLOCK_D]
+    # EVERY version-B group uses offset C' in block 3 (IEC 62106 2.1.5.2),
+    # including type 0B
+    btypes = [BLOCK_A, BLOCK_B, BLOCK_CP if version else BLOCK_C, BLOCK_D]
     b_word = (group_type << 12) | (version << 11) | (b_low & 0x7FF)
     words = [pi, b_word, c_word, d_word]
     bits = []

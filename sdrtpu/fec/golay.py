@@ -58,12 +58,23 @@ class Golay24:
         return reg & 0x7FF
 
     def decode24(self, cw: int) -> tuple[int | None, int]:
-        """24-bit word -> (12-bit data or None, bit errors corrected)."""
+        """24-bit word -> (12-bit data or None, bit errors corrected).
+
+        The overall parity bit is what makes the EXTENDED code d=8: the
+        received word's overall parity equals the total error count mod
+        2.  A weight-3 table correction with EVEN received parity means
+        4 errors (every 4-error pattern's coset leader has weight 3,
+        since leader ^ pattern must be a weight-7 codeword) — detected,
+        not miscorrected.
+        """
         cw23 = (cw >> 1) & 0x7FFFFF
         syn = self._syndrome(cw23)
         err = self._table.get(syn)
         if err is None:
             return None, -1
-        corrected = cw23 ^ err
         n_err = bin(err).count("1")
+        parity = bin(cw & 0xFFFFFF).count("1") & 1
+        if parity == 0 and n_err == 3:
+            return None, -1  # 4-error pattern: detect, don't miscorrect
+        corrected = cw23 ^ err
         return (corrected >> 11) & 0xFFF, n_err

@@ -114,7 +114,12 @@ def compress(iq: np.ndarray, pcm_type: int = PCM_TYPE_I16) -> bytes:
     interleaved[1::2] = iq.imag
     if pcm_type == PCM_TYPE_F32:
         return struct.pack("<HHf", 0, PCM_TYPE_F32, 0.0) + interleaved.tobytes()
-    max_val = float(interleaved[np.argmax(interleaved)]) if iq.size else 1.0
+    # max |component|.  (The reference's volk_32f_index_max_32u takes the
+    # SIGNED max — sample_stream_compressor.h:48-51 — which clips or
+    # sign-flips asymmetric/DC-offset basebands.  The wire format is
+    # self-describing via the scaler header, so abs-max stays fully
+    # compatible with any decompressor while never destroying samples.)
+    max_val = float(np.abs(interleaved).max()) if iq.size else 1.0
     if max_val == 0.0:
         max_val = 1.0
     hdr = struct.pack("<HHf", 0, pcm_type, max_val)

@@ -173,7 +173,12 @@ class NetworkSource:
                     data, _ = self._sock.recvfrom(65536)
                 except OSError:
                     return
-                self._push(data)
+                # a truncated/malformed datagram must not kill the rx
+                # thread: trim to whole samples (UDP has no carry — the
+                # next datagram starts a fresh sample boundary)
+                usable = (len(data) // itemsize) * itemsize
+                if usable:
+                    self._push(data[:usable])
         else:
             while self._running:
                 try:

@@ -37,19 +37,29 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return bytes(buf)
 
 
-def _recv_line(sock: socket.socket, limit: int = 65536) -> bytes:
-    """Read bytes up to and excluding CRLF/LF."""
+def _recv_line_counted(sock: socket.socket,
+                       limit: int = 65536) -> tuple[bytes, int]:
+    """Read up to and excluding CRLF/LF; also return bytes CONSUMED
+    (including the line ending — callers doing chunk-length accounting
+    must not guess whether the server sent \\r\\n or \\n)."""
     buf = bytearray()
+    consumed = 0
     while len(buf) < limit:
         b = sock.recv(1)
         if not b:
             raise ConnectionError("socket closed mid-line")
+        consumed += 1
         if b == b"\n":
             break
         buf.extend(b)
     if buf.endswith(b"\r"):
         del buf[-1]
-    return bytes(buf)
+    return bytes(buf), consumed
+
+
+def _recv_line(sock: socket.socket, limit: int = 65536) -> bytes:
+    """Read bytes up to and excluding CRLF/LF."""
+    return _recv_line_counted(sock, limit)[0]
 
 
 class SpectranHttpClient:
@@ -98,8 +108,7 @@ class SpectranHttpClient:
         clen = int(size_line, 16)
         if clen == 0:
             return False
-        meta_raw = _recv_line(self._sock)
-        consumed = len(meta_raw) + 1  # newline
+        meta_raw, consumed = _recv_line_counted(self._sock)
         sep = _recv_exact(self._sock, 1)
         consumed += 1
         if sep[0] != RECORD_SEPARATOR:
@@ -108,7 +117,7 @@ class SpectranHttpClient:
         if _recv_exact(self._sock, 2) != b"\r\n":
             raise ConnectionError("missing chunk trailing CRLF")
 
-        meta = json.loads(meta_raw.rstrip(b"\r"))
+        meta = json.loads(meta_raw)
         start = int(meta.get("startFrequency", 0))
         end = int(meta.get("endFrequency", 0))
         samplerate = int(meta.get("sampleFrequency", end - start))

@@ -1,8 +1,12 @@
-"""Streaming FIR filtering as block-parallel XLA convolutions.
+"""Streaming FIR filtering as block-parallel XLA programs.
 
 Replaces the reference's per-sample VOLK dot-product loops
-(``core/src/dsp/filter/fir.h:62-83`` and ``decimating_fir.h:47-67``) with a
-single `lax.conv_general_dilated` per block.  The reference's semantics:
+(``core/src/dsp/filter/fir.h:62-83`` and ``decimating_fir.h:47-67``) with
+fused shift-and-add unrolls (`correlate_valid`) or FFT overlap-save
+(`fft_correlate_valid`, auto-selected for >=128 taps).  NEVER use
+`lax.conv_general_dilated` here: single-channel 1-D convs take minutes
+to compile on the TPU backend and run ~100x slower (see CLAUDE.md).
+The reference's semantics:
 
     out[i] = sum_t buffer[i + t] * taps[t]
 
@@ -17,9 +21,9 @@ the ``memmove`` at ``fir.h:80``.  Under time-axis sharding the same state is
 exchanged between neighbor shards via `ppermute` (see
 ``sdrtpu/shard/overlap.py``).
 
-Complex data with real taps filters I and Q as two real channels of one
-conv (the conv's batch dim); complex taps combine two real convs.  XLA lowers
-these convolutions onto the MXU.
+Complex data with real taps filters I and Q as two unrolled real paths;
+complex taps combine real/imag cross terms.  Long-filter FFT paths ride
+the batched TPU FFT; the polyphase layouts keep every slice unit-stride.
 """
 
 from __future__ import annotations
@@ -308,7 +312,7 @@ class MultistageDecimator(StreamOp):
     (``power_decimator.h:51-67``): same capability (1..2^k ratios, staged
     half-band filters) but with taps designed on the fly (`taps.half_band`)
     instead of the reference's precomputed plan tables, and each stage a
-    strided XLA conv.
+    polyphase-layout shift-and-add unroll (unit-stride slices only).
     """
 
     def __init__(self, ratio: int, dtype=jnp.complex64, taps_fn=None):

@@ -328,7 +328,11 @@ class RationalResampler(StreamOp):
             d -= 1
 
         # Single-stage plan: no predecim if the polyphase frame matrix is
-        # narrow enough for one matmul.
+        # narrow enough for one matmul.  The planning-pass prototype is
+        # cached: when this plan wins it is byte-identical (up to the
+        # `interp` gain) to the construction-pass filter, which can be
+        # thousands of taps of windowed-sinc design per VFO.
+        plan_taps = None
         if d > 1 and int_sr != out_sr:
             g1 = math.gcd(int_sr, out_sr)
             L1, M1 = out_sr // g1, int_sr // g1
@@ -338,6 +342,7 @@ class RationalResampler(StreamOp):
                 tpp1 = -(-len(taps1) // L1)
                 if M1 + tpp1 <= self.SINGLE_STAGE_MAX_W:
                     d = 1
+                    plan_taps = taps1
         mid_sr = int_sr // d if d > 1 else int_sr
 
         g = math.gcd(mid_sr, out_sr)
@@ -360,9 +365,12 @@ class RationalResampler(StreamOp):
         self.interp = interp
         self.decim = decim
         if interp != decim:
-            tap_sr = mid_sr * interp
-            pbw = bw if bw is not None else min(in_samplerate, out_samplerate) / 2.0
-            rtaps = tapsmod.low_pass(pbw, trans_bw or pbw * 0.1, tap_sr) * np.float32(interp)
+            if plan_taps is not None:
+                rtaps = plan_taps * np.float32(interp)
+            else:
+                tap_sr = mid_sr * interp
+                pbw = bw if bw is not None else min(in_samplerate, out_samplerate) / 2.0
+                rtaps = tapsmod.low_pass(pbw, trans_bw or pbw * 0.1, tap_sr) * np.float32(interp)
             self.resamp = PolyphaseResampler(interp, decim, rtaps, dtype)
         else:
             self.resamp = None

@@ -18,6 +18,35 @@ def test_randomizer_involution():
     np.testing.assert_array_equal((data ^ r) ^ r, data)
 
 
+def test_randomizer_standard_sequence():
+    """Pins the CCSDS 131.0-B sequence itself (not just the involution),
+    so off-air captures derandomize — loopback alone can't catch a
+    wrong-tap LFSR."""
+    np.testing.assert_array_equal(
+        ccsds_randomizer(8),
+        np.frombuffer(bytes.fromhex("ff480ec09a0d70bc"), np.uint8),
+    )
+    # 255-byte period... the BIT sequence has period 255, so the byte
+    # sequence repeats every 255 bytes
+    r = ccsds_randomizer(510)
+    np.testing.assert_array_equal(r[:255], r[255:])
+
+
+def test_streaming_frame_across_call_boundary():
+    """A frame split across two process() calls must still decode."""
+    enc = CcsdsEncoder()
+    dec = CcsdsDeframer()
+    cvs = [RNG.integers(0, 256, CVCDU_BYTES).astype(np.uint8)
+           for _ in range(2)]
+    soft = enc.encode(cvs)
+    cut = len(soft) // 2 + 777  # mid-frame
+    frames = dec.process(soft[:cut])
+    frames += dec.process(soft[cut:])
+    assert len(frames) == 2
+    for got, want in zip(frames, cvs):
+        np.testing.assert_array_equal(got, want)
+
+
 def test_clean_loopback():
     enc = CcsdsEncoder()
     dec = CcsdsDeframer()

@@ -27,9 +27,6 @@ class TestFormats:
 
 class TestCompression:
     def test_pcm_roundtrip(self):
-        # Note: the wire format scales by the max *signed* value (the
-        # reference's volk_32f_index_max quirk), so values more negative
-        # than -max saturate; use symmetric data.
         rng = np.random.default_rng(123)
         iq = (
             rng.uniform(-0.9, 0.9, 512) + 1j * rng.uniform(-0.9, 0.9, 512)
@@ -39,6 +36,24 @@ class TestCompression:
             (compression.PCM_TYPE_I8, 0.1),
             (compression.PCM_TYPE_I16, 1e-3),
             (compression.PCM_TYPE_F32, 1e-7),
+        ]:
+            back = compression.decompress(compression.compress(iq, t))
+            np.testing.assert_allclose(back, iq, atol=tol)
+
+    def test_asymmetric_baseband_roundtrips(self):
+        """DC-offset / all-negative components must survive: the scaler is
+        max |component| (the wire format is self-describing, so this stays
+        compatible with the reference's decompressor while avoiding its
+        signed-max clipping quirk, sample_stream_compressor.h:48-51)."""
+        rng = np.random.default_rng(7)
+        # I strongly negative, Q small: the signed max would pick ~0.05
+        # and clip all of I to -128
+        iq = (
+            rng.uniform(-0.7, -0.3, 256) + 1j * rng.uniform(-0.05, 0.05, 256)
+        ).astype(np.complex64)
+        for t, tol in [
+            (compression.PCM_TYPE_I8, 0.01),
+            (compression.PCM_TYPE_I16, 1e-4),
         ]:
             back = compression.decompress(compression.compress(iq, t))
             np.testing.assert_allclose(back, iq, atol=tol)

@@ -25,6 +25,20 @@ class TestBitLayer:
         assert mtype == MESSAGE_ALPHA
         assert text.startswith("HELLO PAGER")
 
+    def test_multi_batch_message_continues(self):
+        """An alphanumeric page longer than one batch must decode as ONE
+        message with the 7-bit character phase intact across the batch
+        boundary (messages end at the next address/idle codeword or
+        carrier drop, not at batch end)."""
+        # frame 6 leaves 3 message codewords in batch 1 -> a 60-char page
+        # needs ~21 codewords and spans 3 batches
+        text = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG 0123456789 END"
+        bits = build_transmission(0x54321, text, frame=6)
+        dec = PocsagDecoder()
+        dec.process(bits)
+        assert len(dec.messages) == 1, dec.messages
+        assert dec.messages[0][2].startswith(text), dec.messages[0][2]
+
     def test_bch_corrects_two_errors(self):
         cw = encode_codeword(0x1ABCDE & 0x1FFFFF)
         for _ in range(20):
