@@ -92,7 +92,7 @@ class DiscordIpc:
         pub = PresencePublisher(sinks=[ipc])
     """
 
-    OP_HANDSHAKE, OP_FRAME, OP_CLOSE = 0, 1, 2
+    OP_HANDSHAKE, OP_FRAME, OP_CLOSE, OP_PING, OP_PONG = 0, 1, 2, 3, 4
 
     def __init__(self, client_id: str, socket_path: str | None = None):
         import os
@@ -153,6 +153,8 @@ class DiscordIpc:
         The daemon acks every SET_ACTIVITY; without consuming the acks a
         long-running presence session fills the socket receive buffer
         until the daemon's writes stall and it drops the connection.
+        PING frames are answered with PONG (echoed payload) — an
+        unanswered ping also gets the client disconnected.
         Non-blocking; partial frames stay buffered across calls.
         """
         self._sock.setblocking(False)
@@ -168,10 +170,14 @@ class DiscordIpc:
         finally:
             self._sock.settimeout(2.0)
         while len(self._rxbuf) >= 8:
-            _, length = self._struct.unpack("<II", self._rxbuf[:8])
+            op, length = self._struct.unpack("<II", self._rxbuf[:8])
             if len(self._rxbuf) < 8 + length:
                 break
+            body = self._rxbuf[8:8 + length]
             self._rxbuf = self._rxbuf[8 + length:]
+            if op == self.OP_PING:
+                payload = json.loads(body or b"{}")
+                self._send(self.OP_PONG, payload)
 
     def set_activity(self, details: str, state: str = "",
                      start: float | None = None) -> None:

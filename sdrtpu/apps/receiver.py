@@ -53,11 +53,22 @@ class BlockFramer:
         self._buf = np.zeros(0, dtype)
 
     def push(self, samples: np.ndarray):
-        self._buf = np.concatenate([self._buf, samples])
-        while len(self._buf) >= self.block_len:
-            out = self._buf[: self.block_len]
-            self._buf = self._buf[self.block_len :]
+        self.append(samples)
+        while True:
+            out = self.pop_block()
+            if out is None:
+                return
             yield out
+
+    def append(self, samples: np.ndarray) -> None:
+        self._buf = np.concatenate([self._buf, samples])
+
+    def pop_block(self) -> np.ndarray | None:
+        if len(self._buf) < self.block_len:
+            return None
+        out = self._buf[: self.block_len]
+        self._buf = self._buf[self.block_len :]
+        return out
 
     @property
     def pending(self) -> int:
@@ -399,8 +410,12 @@ class Receiver:
         """Snapshot the full DSP state mid-stream (SURVEY §5.4).
 
         Captures loop carries, filter tails and mixer phases plus the
-        framer remainder, so a restarted process resumes bit-exactly
-        (the reference loses PLL/filter state on restart).
+        framer remainder and any batch-queued blocks, so a restarted
+        process resumes losslessly (the reference loses PLL/filter state
+        on restart).  Resume is bit-exact for ``scan_batch=1``; with
+        batching, restored pending blocks replay through the single-step
+        program where the uninterrupted run used the scan body, so
+        continuation matches within float-reassociation tolerance.
         """
         from ..graph.checkpoint import save_state
 
@@ -437,6 +452,10 @@ class Receiver:
                 for i in range(nb)
             ]
             self.framer._buf = buf[nb * self.block_len:]
+            # the restored rstate may still have init shapes (snapshot
+            # taken before any dispatch): re-run the single-step shape
+            # stabilization before the first batched scan
+            self._warmed = False
 
     def retune(self, name: str, offset_hz: float) -> None:
         """Live-retune one VFO: state-table swap, no recompilation.
@@ -472,26 +491,41 @@ class Receiver:
         self._rstate = state0
 
     def push(self, iq: np.ndarray) -> None:
-        """Feed host IQ samples; dispatches as blocks/batches fill."""
+        """Feed host IQ samples; dispatches as blocks/batches fill.
+
+        The state lock is held per BLOCK (frame-pop + compiled step as
+        one atomic unit; sink emission outside), so control threads
+        (retune/checkpoint via webview/rigctl/scheduler) wait at most one
+        dispatch even when a whole file arrives in a single push().
+        """
         if self._thr is not None:
             self._thr.add(len(iq))
         with self._state_lock:
+            self.framer.append(np.asarray(iq, np.complex64))
             if self.scan_batch <= 1 and self._pending:
                 self.drain()  # checkpoint-restored blocks precede new input
-            for block in self.framer.push(np.asarray(iq, np.complex64)):
+        while True:
+            payload = None
+            with self._state_lock:
+                block = self.framer.pop_block()
+                if block is None:
+                    break
                 if self.scan_batch <= 1:
-                    self._dispatch(block)
+                    payload = self._compute(block)
                 else:
                     self._pending.append(block)
                     if not self._warmed:
                         # first block goes through the single-step path so
                         # the state pytree takes its steady shapes before
                         # scanning
-                        self._dispatch(self._pending.pop(0))
+                        payload = self._compute(self._pending.pop(0))
                         self._warmed = True
                     elif len(self._pending) >= self.scan_batch:
-                        self._dispatch_batch(self._pending[: self.scan_batch])
+                        batch = self._pending[: self.scan_batch]
                         self._pending = self._pending[self.scan_batch :]
+                        payload = self._compute_batch(batch)
+            if payload is not None:
+                self._emit(*payload)
 
     def drain(self) -> None:
         """Dispatch any buffered whole blocks (before flush/shutdown)."""
@@ -523,25 +557,30 @@ class Receiver:
                 s = s[: int(round(s.shape[0] * valid_fraction))]
             self.spectrum_sink(s)
 
-    def _dispatch(self, block: np.ndarray, valid_fraction: float = 1.0) -> None:
+    def _compute(self, block: np.ndarray, valid_fraction: float = 1.0):
+        """One compiled step (caller holds the state lock); returns the
+        `_emit` payload so sink fan-out can run outside the lock."""
         for sink in self.baseband_sinks:
             sink(block if valid_fraction >= 1.0
                  else block[: int(round(len(block) * valid_fraction))])
         re = np.ascontiguousarray(block.real)
         im = np.ascontiguousarray(block.imag)
-        with self._state_lock:
-            self._rstate, (audios, spec) = self._step(self._rstate, re, im)
-        self._emit(audios, spec, batched=False, valid_fraction=valid_fraction)
+        self._rstate, (audios, spec) = self._step(self._rstate, re, im)
+        return audios, spec, False, valid_fraction
 
-    def _dispatch_batch(self, blocks: list[np.ndarray]) -> None:
+    def _compute_batch(self, blocks: list[np.ndarray]):
         for sink in self.baseband_sinks:
             for b in blocks:
                 sink(b)
         re = np.stack([np.ascontiguousarray(b.real) for b in blocks])
         im = np.stack([np.ascontiguousarray(b.imag) for b in blocks])
+        self._rstate, (audios, spec) = self._step_scan(self._rstate, re, im)
+        return audios, spec, True, 1.0
+
+    def _dispatch(self, block: np.ndarray, valid_fraction: float = 1.0) -> None:
         with self._state_lock:
-            self._rstate, (audios, spec) = self._step_scan(self._rstate, re, im)
-        self._emit(audios, spec, batched=True)
+            payload = self._compute(block, valid_fraction)
+        self._emit(*payload)
 
     def flush(self) -> None:
         """Dispatch any pending partial block (stream tail).

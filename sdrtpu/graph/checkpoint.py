@@ -23,7 +23,11 @@ def save_state(path: str, state) -> None:
     arrays["__treedef__"] = np.frombuffer(
         str(treedef).encode(), dtype=np.uint8
     )
-    np.savez(path, **arrays)
+    # write through a file handle: np.savez(str) silently appends ".npz"
+    # to bare paths, which load_state (np.load on the verbatim path)
+    # would then not find
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def load_state(path: str, like) -> object:

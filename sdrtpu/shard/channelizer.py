@@ -61,6 +61,7 @@ class MultiVfoMixer(StreamOp):
         n_coarse = -(-n // fine)
         k_fine = np.arange(fine, dtype=np.float64)
         k_coarse = np.arange(n_coarse, dtype=np.float64) * fine
+        self.offsets = offsets
         self._fine_t = np.mod(omega[:, None] * k_fine, _TWO_PI).astype(np.float32)
         self._coarse_t = np.mod(omega[:, None] * k_coarse, _TWO_PI).astype(np.float32)
         self._delta = np.mod(omega * n, _TWO_PI).astype(np.float32)
@@ -79,9 +80,15 @@ class MultiVfoMixer(StreamOp):
 
         The carried phase is preserved — the reference's ``RxVFO::
         setOffset`` likewise only changes the rotator increment
-        (``rx_vfo.h:72-77``)."""
+        (``rx_vfo.h:72-77``).  The mixer's own host tables are updated
+        too, so ``init_state()`` after a retune reflects the new offsets.
+        """
         fresh = MultiVfoMixer(offsets_hz, self.samplerate, self.block_len)
         assert fresh.n_channels == self.n_channels
+        self.offsets = fresh.offsets
+        self._fine_t = fresh._fine_t
+        self._coarse_t = fresh._coarse_t
+        self._delta = fresh._delta
         return {
             "phase": state["phase"],
             "coarse": fresh._coarse_t,
@@ -143,6 +150,7 @@ class ModulatedDecimatorChain(StreamOp):
         self.n_channels = len(offsets)
         omega_p = -_TWO_PI * offsets / float(samplerate)  # (C,) mixer rate
         self.stage_plan: list[tuple[np.ndarray, int, int]] = []
+        self._live: list[list[int]] = []
         phase0 = np.zeros(self.n_channels, np.float64)
         rate_mult = 1  # product of decimations applied so far
         n = int(block_len)
@@ -158,7 +166,6 @@ class ModulatedDecimatorChain(StreamOp):
             # live (nonzero) tap columns are offset-invariant (|h e^{jwt}|
             # = |h|), so the shift-add unroll's zero-skip stays static
             # even with the taps living in the state pytree
-            self._live = getattr(self, "_live", [])
             self._live.append([t for t in range(T) if taps[t] != 0.0])
             phase0 -= omega_p * rate_mult * (T - 1)
             rate_mult *= M
@@ -190,7 +197,12 @@ class ModulatedDecimatorChain(StreamOp):
         Same contract as `FftDecimatorChain.retune_state`: every
         offset-dependent constant (modulated stage taps, residual-rotator
         tables and group-delay phase) is state; carried tails are
-        offset-independent histories and are preserved."""
+        offset-independent histories and are preserved.  Each channel's
+        ACCUMULATED rotator phase is carried over (minus the old
+        group-delay constant, plus the new one), so channels whose offset
+        did not change see no phase step — ``RxVFO::setOffset`` semantics
+        (``rx_vfo.h:72-77``).  Host constants are adopted from the fresh
+        plan, keeping ``init_state()`` valid after the retune."""
         fresh = ModulatedDecimatorChain(
             offsets_hz, samplerate, stages, self.block_len
         )
@@ -199,6 +211,15 @@ class ModulatedDecimatorChain(StreamOp):
         ), "retune changed the stage plan; rebuild the chain instead"
         new = fresh.init_state()
         new["tails"] = state["tails"]
+        new["rot"]["phase"] = np.mod(
+            np.asarray(state["rot"]["phase"], np.float32)
+            - self._phase0 + fresh._phase0,
+            np.float32(_TWO_PI),
+        )
+        self.stage_plan = fresh.stage_plan
+        self._live = fresh._live
+        self._phase0 = fresh._phase0
+        self.rot = fresh.rot
         return new
 
     def out_len(self, n: int) -> int:
@@ -444,6 +465,20 @@ class FftDecimatorChain(StreamOp):
             )
         new = fresh.init_state()
         new["tail"] = state["tail"]
+        # carry each channel's ACCUMULATED rotator phase (minus old
+        # group-delay constant, plus new): channels whose offset did not
+        # change see no phase step (RxVFO::setOffset semantics)
+        new["rot"]["phase"] = np.mod(
+            np.asarray(state["rot"]["phase"], np.float32)
+            - self._phase0 + fresh._phase0,
+            np.float32(_TWO_PI),
+        )
+        # adopt the fresh host tables so init_state() is valid post-retune
+        for attr in ("_hf_folded", "_hf_sparse", "_fold_idx"):
+            if hasattr(fresh, attr):
+                setattr(self, attr, getattr(fresh, attr))
+        self._phase0 = fresh._phase0
+        self.rot = fresh.rot
         return new
 
     def out_len(self, n: int) -> int:

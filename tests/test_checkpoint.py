@@ -29,6 +29,22 @@ def test_mid_stream_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
 
 
+def test_bare_path_roundtrips(tmp_path):
+    """Paths without a .npz suffix must save and load (np.savez appends
+    '.npz' to bare string paths; save_state writes via a handle)."""
+    d = BroadcastFm(samplerate=250000.0, stereo=True)
+    st = realify(d.init_state())
+    path = str(tmp_path / "rx.state")  # no .npz
+    save_state(path, st)
+    import os
+
+    assert os.path.exists(path)
+    restored = load_state(path, st)
+    for a, b in zip(*(map(lambda s: __import__("jax").tree_util.tree_leaves(s),
+                          (st, restored)))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_treedef_mismatch_detected(tmp_path):
     import pytest
 

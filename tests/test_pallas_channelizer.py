@@ -363,14 +363,53 @@ class TestChannelizerRetune:
             fst, ref = fresh(fst, jnp.asarray(b))
         got, ref = np.asarray(got), np.asarray(ref)
         scale = np.abs(ref).max()
-        if method == "xla":
-            # the plain-xla path preserves mixer phase across the retune
-            # (RxVFO::setOffset semantics): outputs agree up to one
-            # constant per-channel phase factor
-            rot = np.sum(ref * np.conj(got), axis=-1)
-            rot /= np.abs(rot)
-            got = got * rot[:, None]
+        # every retune path preserves each channel's ACCUMULATED phase
+        # (RxVFO::setOffset semantics — no phase step on unmoved
+        # channels), so outputs agree with a fresh chain up to one
+        # constant per-channel phase factor
+        rot = np.sum(ref * np.conj(got), axis=-1)
+        rot /= np.abs(rot)
+        got = got * rot[:, None]
         np.testing.assert_allclose(got, ref, atol=5e-3 * scale)
+
+    def test_retune_no_phase_step_on_unmoved_channels(self):
+        """Retuning channel 0 must not jump the carried rotator phase of
+        the untouched channel 1 (the audible-click bug): channel 1's
+        output must continue EXACTLY as if no retune had happened."""
+        from sdrtpu.shard.channelizer import Channelizer
+
+        fs, f_if, n = 10_000_000.0, 250_000.0, 40000
+        offs_a = np.array([-4e6, 2e6])
+        offs_b = np.array([-3.5e6, 2e6])  # move only channel 0
+        blocks = [
+            (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(
+                np.complex64
+            )
+            for _ in range(3)
+        ]
+        for method in ("fft", "xla-fused", "xla"):
+            base = Channelizer(offs_a, fs, f_if, n, method=method)
+            st_b = base.init_state()
+            outs_b = []
+            for b in blocks:
+                st_b, y = base(st_b, jnp.asarray(b))
+                outs_b.append(np.asarray(y))
+
+            cz = Channelizer(offs_a, fs, f_if, n, method=method)
+            st = cz.init_state()
+            st, _ = cz(st, jnp.asarray(blocks[0]))
+            st = cz.retune_state(st, offs_b)
+            outs = []
+            for b in blocks[1:]:
+                st, y = cz(st, jnp.asarray(b))
+                outs.append(np.asarray(y))
+            # channel 1 (unmoved): bit-close continuation
+            scale = np.abs(outs_b[1][1]).max()
+            for got, ref in zip(outs, outs_b[1:]):
+                np.testing.assert_allclose(
+                    got[1], ref[1], atol=1e-4 * scale,
+                    err_msg=f"method={method}",
+                )
 
     def test_retune_no_retrace(self):
         import jax
