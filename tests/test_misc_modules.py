@@ -117,6 +117,38 @@ class TestRigctl:
         s.close()
         srv.close()
 
+    def test_mode_and_vfo_commands(self):
+        """The reference's full NET rigctl set (main.cpp:427-567): M/m
+        with bandwidth, the '?' queries, V/v, chk_vfo, s/S."""
+        state = {"mode": "wfm", "bw": 150000.0}
+        srv = RigctlServer(
+            "127.0.0.1", 0,
+            get_mode=lambda: state["mode"],
+            set_mode=lambda m: state.update(mode=m),
+            get_bandwidth=lambda: state["bw"],
+            set_bandwidth=lambda b: state.update(bw=b),
+        )
+        h = srv.handle_command
+        assert h("m") == "WFM\n150000\n"
+        assert h("M ?") == "FM WFM AM DSB USB CW LSB RAW\n"
+        assert h("M FM 12500") == "RPRT 0\n"
+        assert state["mode"] == "nfm" and state["bw"] == 12500.0
+        assert h("m") == "FM\n12500\n"
+        assert h("M USB -1") == "RPRT 0\n"
+        assert state["mode"] == "usb" and state["bw"] == 12500.0  # -1: keep
+        assert h("M USB") == "RPRT 1\n"          # missing bandwidth
+        assert h("M XXX 1000") == "RPRT 1\n"     # unknown mode
+        assert h("M USB 1e3") == "RPRT 1\n"      # non-integer bandwidth
+        assert h("v") == "VFO\n"
+        assert h("V VFO") == "RPRT 0\n"
+        assert h("V ?") == "VFO\n"
+        assert h("V VFOB") == "RPRT 1\n"
+        assert h("\\chk_vfo") == "CHKVFO 0\n"
+        assert h("s") == "0\nVFOA\n"
+        assert h("S 0 VFOA") == "RPRT 0\n"
+        assert h("\\recorder_start") == "RPRT 0\n"
+        srv.close()
+
 
 class TestDiagrams:
     def test_constellation(self):
