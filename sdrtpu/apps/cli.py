@@ -35,7 +35,8 @@ def main(argv=None) -> int:
     ap.add_argument("--input", required=True, help="IQ WAV recording")
     ap.add_argument("--output", default="audio.wav", help="audio WAV out")
     ap.add_argument("--mode", default="wfm",
-                    choices=["wfm", "nfm", "am", "usb", "lsb", "dsb", "cw"])
+                    choices=["wfm", "nfm", "am", "usb", "lsb", "dsb", "cw",
+                             "raw"])
     ap.add_argument("--offset", type=float, default=0.0,
                     help="VFO offset from capture center (Hz)")
     ap.add_argument("--bandwidth", type=float, default=None)
