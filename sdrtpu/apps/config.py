@@ -8,17 +8,23 @@ defaults for missing keys (``ConfigManager::load`` repair behavior,
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 from typing import Any
 
 
 def merge_defaults(conf: dict, defaults: dict) -> tuple[dict, bool]:
-    """Recursively add missing keys from defaults. Returns (conf, changed)."""
+    """Recursively add missing keys from defaults. Returns (conf, changed).
+
+    Inserted containers are DEEP COPIES: the loaded config is mutable
+    application state, and writing through a by-reference default would
+    corrupt the shared defaults object (and every later repair from it).
+    """
     changed = False
     for k, v in defaults.items():
         if k not in conf:
-            conf[k] = v
+            conf[k] = copy.deepcopy(v) if isinstance(v, (dict, list)) else v
             changed = True
         elif isinstance(v, dict) and isinstance(conf[k], dict):
             _, ch = merge_defaults(conf[k], v)

@@ -23,6 +23,8 @@ class ConstellationDiagram:
     def push(self, symbols: np.ndarray) -> None:
         s = np.asarray(symbols, np.complex64).ravel()[-self.capacity :]
         k = len(s)
+        if k == 0:  # buf[-0:] would select the WHOLE buffer
+            return
         self._buf = np.roll(self._buf, -k)
         self._buf[-k:] = s
         self._n = min(self._n + k, self.capacity)
@@ -67,6 +69,8 @@ class SymbolDiagram:
     def push(self, symbols: np.ndarray) -> None:
         s = np.asarray(symbols, np.float32).ravel()[-self.capacity :]
         k = len(s)
+        if k == 0:  # buf[-0:] would select the WHOLE buffer
+            return
         self._buf = np.roll(self._buf, -k)
         self._buf[-k:] = s
         self._n = min(self._n + k, self.capacity)

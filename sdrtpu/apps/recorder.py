@@ -51,38 +51,42 @@ class Recorder:
         self.sample_type = sample_type
         self.ignore_silence = ignore_silence
         self.silence_threshold = silence_threshold
-        self._chunks: list[np.ndarray] = []
+        self._writer: wav.WavWriter | None = None
         self.peak = 0.0
         self.recorded_samples = 0
 
+    def _open(self, channels: int) -> wav.WavWriter:
+        if self._writer is None:
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            self._writer = wav.WavWriter(
+                self.path, self.samplerate, channels, self.sample_type
+            )
+        return self._writer
+
     def push(self, block: np.ndarray) -> None:
+        """Stream one block to disk (incremental write: long recordings
+        must not accumulate in RAM — baseband at 10 Msps is ~80 MB/s)."""
         block = np.asarray(block)
-        if self.mode == "audio":
-            amp = float(np.max(np.abs(block))) if block.size else 0.0
-        else:
-            amp = float(np.max(np.abs(block))) if block.size else 0.0
+        amp = float(np.max(np.abs(block))) if block.size else 0.0
         self.peak = max(self.peak * 0.85, amp)  # decaying peak meter
         if self.ignore_silence and amp < self.silence_threshold:
             return
-        self._chunks.append(block)
+        if block.size == 0:
+            return
+        if self.mode == "audio":
+            frames = np.atleast_2d(block).T  # (2, n) -> (n, 2)
+            self._open(frames.shape[1]).append(frames)
+        else:
+            self._open(2).append_iq(block.astype(np.complex64))
         self.recorded_samples += block.shape[-1]
 
     def close(self) -> str:
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        if self.mode == "audio":
-            audio = (
-                np.concatenate(self._chunks, axis=-1)
-                if self._chunks
-                else np.zeros((2, 0), np.float32)
-            )
-            wav.write_wav(self.path, self.samplerate, audio.T, self.sample_type)
-        else:
-            iq = (
-                np.concatenate(self._chunks)
-                if self._chunks
-                else np.zeros(0, np.complex64)
-            )
-            wav.write_iq_wav(self.path, self.samplerate, iq, self.sample_type)
+        if self._writer is None:
+            # nothing was pushed: still produce a valid empty stereo file
+            self._open(2)
+        w = self._writer
+        self._writer = None
+        w.close()
         return self.path
 
     def __enter__(self):

@@ -8,9 +8,12 @@ the host loop (or a thread via `run_background`).
 from __future__ import annotations
 
 import datetime
+import logging
 import threading
 from dataclasses import dataclass, field
 from typing import Callable
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -34,23 +37,31 @@ class Scheduler:
             self.tasks.append(task)
 
     def tick(self, now: datetime.datetime | None = None) -> int:
-        """Run all due tasks; returns how many fired."""
+        """Run all due tasks; returns how many fired.
+
+        Actions run OUTSIDE the lock (an action may call ``add()`` to
+        reschedule itself without deadlocking) and a raising action is
+        logged, never allowed to kill the scheduler thread or starve the
+        other due tasks.
+        """
         now = now or datetime.datetime.now()
-        fired = 0
+        due: list[Task] = []
         with self._lock:
             for t in self.tasks:
                 if t.done or t.at > now:
                     continue
-                try:
-                    t.action()
-                finally:
-                    fired += 1
-                    if t.recurring_days:
-                        t.at += datetime.timedelta(days=t.recurring_days)
-                    else:
-                        t.done = True
+                due.append(t)
+                if t.recurring_days:
+                    t.at += datetime.timedelta(days=t.recurring_days)
+                else:
+                    t.done = True
             self.tasks = [t for t in self.tasks if not t.done]
-        return fired
+        for t in due:
+            try:
+                t.action()
+            except Exception:
+                log.exception("scheduled task %r failed", t.name)
+        return len(due)
 
     def run_background(self, interval: float = 1.0) -> None:
         self._running = True

@@ -132,6 +132,14 @@ def main(argv=None) -> int:
                 time.sleep(0.05)
                 continue
             if iq is not None:
+                if len(iq) < args.block:
+                    # capture shorter than one block: tile it so the loop
+                    # still serves (and paces) instead of hot-spinning
+                    if len(iq) == 0:
+                        print("empty capture", file=sys.stderr)
+                        break
+                    reps = -(-args.block // len(iq))
+                    iq = np.tile(iq, reps)
                 block = iq[pos : pos + args.block]
                 if len(block) < args.block:
                     pos = 0

@@ -206,5 +206,8 @@ def save_waterfall_png(path: str, db_lines: np.ndarray,
     view = WaterfallView(lines.shape[1], height=lines.shape[0],
                          view_width=width, wf_min=wf_min, wf_max=wf_max,
                          colormap=colormap)
-    view.push(lines[::-1])  # oldest first so row 0 ends up newest
+    # stream order in: each push rolls the newer line to row 0, so after
+    # pushing oldest->newest the NEWEST frame is at the top — matching
+    # the live WaterfallView orientation
+    view.push(lines)
     Image.fromarray(view.fb, "RGBA").save(path)

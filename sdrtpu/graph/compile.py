@@ -102,16 +102,18 @@ class CompiledOp:
 
     def __init__(self, op, donate_state: bool = True):
         self.op = op
-        donate = (0,) if donate_state else ()
 
-        @jax.jit
         def _step(rstate, rx):
             state = complexify(rstate)
             x = complexify(rx)
             state, y = op(state, x)
             return realify(state), realify(y)
 
-        self._step = _step
+        # donating the state argument lets XLA reuse its buffers for the
+        # new state (halves resident memory for large filter-tail states)
+        self._step = jax.jit(
+            _step, donate_argnums=(0,) if donate_state else ()
+        )
 
     def init_state(self):
         return realify(self.op.init_state())

@@ -156,6 +156,80 @@ def write_iq_wav(
     write_wav(path, samplerate, x, sample_type)
 
 
+def _convert_samples(x: np.ndarray, sample_type: str):
+    """float frames -> (encoded array, wave fmt code, bits/sample)."""
+    if sample_type == "uint8":
+        return (np.clip(x, -1, 1) * 127.0 + 128.0).astype(np.uint8), _FMT_PCM, 8
+    if sample_type == "int16":
+        return (np.clip(x, -1, 1) * 32767.0).astype(np.int16), _FMT_PCM, 16
+    if sample_type == "int32":
+        return (
+            (np.clip(x, -1, 1) * 2147483647.0).astype(np.int32), _FMT_PCM, 32
+        )
+    if sample_type == "float32":
+        return x.astype(np.float32), _FMT_IEEE_FLOAT, 32
+    raise ValueError(f"unknown sample_type {sample_type}")
+
+
+class WavWriter:
+    """Incremental WAV writer: append frames as they arrive.
+
+    The RIFF/data chunk sizes are patched on ``close()``, so arbitrarily
+    long recordings stream to disk instead of accumulating in RAM (a
+    10 Msps baseband capture is ~80 MB/s — the recorder must not buffer
+    it; the reference also writes incrementally, ``riff.cpp``).
+    """
+
+    def __init__(self, path: str, samplerate: int, channels: int,
+                 sample_type: str = "int16"):
+        self.path = path
+        self.sample_type = sample_type
+        self.channels = int(channels)
+        _, fmt, bits = _convert_samples(np.zeros((0, channels)), sample_type)
+        self._f = open(path, "wb")
+        byte_rate = samplerate * channels * bits // 8
+        block_align = channels * bits // 8
+        self._f.write(struct.pack("<4sI4s", b"RIFF", 36, b"WAVE"))
+        self._f.write(struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, fmt, self.channels, int(samplerate),
+            byte_rate, block_align, bits,
+        ))
+        self._f.write(struct.pack("<4sI", b"data", 0))
+        self._data_bytes = 0
+
+    def append(self, samples: np.ndarray) -> None:
+        """Append (frames,) or (frames, channels) float data."""
+        x = np.asarray(samples)
+        if x.ndim == 1:
+            x = x[:, None]
+        assert x.shape[1] == self.channels, (x.shape, self.channels)
+        data, _, _ = _convert_samples(x, self.sample_type)
+        b = data.tobytes()
+        self._f.write(b)
+        self._data_bytes += len(b)
+
+    def append_iq(self, iq: np.ndarray) -> None:
+        """Append complex IQ (2-channel convention: I=left, Q=right)."""
+        self.append(np.stack([iq.real, iq.imag], axis=1).astype(np.float32))
+
+    def close(self) -> str:
+        f = self._f
+        if f is not None:
+            self._f = None
+            f.seek(4)
+            f.write(struct.pack("<I", 36 + self._data_bytes))
+            f.seek(40)
+            f.write(struct.pack("<I", self._data_bytes))
+            f.close()
+        return self.path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
 _FREQ_RE = re.compile(r"(\d{6,})")
 
 

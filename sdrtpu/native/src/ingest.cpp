@@ -50,10 +50,13 @@ struct IngestPump {
         // boundary.  A misaligned write or drop would shift the
         // interleaved I/Q framing of every later byte in the stream.
         constexpr int64_t CHUNK = 256 * 1024;
-        uint8_t* buf = new uint8_t[CHUNK + 16];
+        uint8_t* buf = new uint8_t[CHUNK];
         int64_t carry = 0;  // sub-sample bytes carried between recvs
         while (!stop.load(std::memory_order_relaxed)) {
-            ssize_t n = recv(fd, buf + carry, CHUNK, 0);
+            // recv at most the remaining buffer: carry can approach
+            // item_size, so a fixed CHUNK-length recv at offset `carry`
+            // would overflow the allocation for large wire samples
+            ssize_t n = recv(fd, buf + carry, CHUNK - carry, 0);
             if (n == 0) { state.store(1); break; }
             if (n < 0) {
                 if (stop.load()) break;

@@ -47,11 +47,16 @@ class ShardedWbfmPipeline:
         )
         # local-span FFT front for the time-sharded channelizer
         rr = self.pipe.channelizer.resampler
-        if rr.predecim is None or not rr.predecim.stages:
+        if (rr.predecim is None or not rr.predecim.stages
+                or rr.resamp is not None):
+            # rr.resamp != None means the in->IF ratio is fractional: the
+            # plan carries a polyphase stage after the predecim that this
+            # sharded front does NOT replicate — failing here beats
+            # silently demodulating at the wrong IF rate
             raise ValueError(
-                "time sharding needs an integer-decimation FFT front; "
-                "choose an input rate that is an integer multiple of the "
-                "IF rate (e.g. 10 Msps -> 250 kHz)"
+                "time sharding needs an INTEGER in->IF decimation for its "
+                "FFT front; choose an input rate that is an integer "
+                "multiple of the IF rate (e.g. 10 Msps -> 250 kHz)"
             )
         stages = [(np.asarray(s.taps), s.decimation)
                   for s in rr.predecim.stages]

@@ -123,3 +123,73 @@ class TestBundledData:
         for m in maps:
             lut = build_palette(load_colormap(m))
             assert lut.shape[0] >= 256 and np.isfinite(lut).all(), m
+
+
+class TestWavWriter:
+    def test_incremental_equals_whole(self, tmp_path):
+        """Streaming appends must produce byte-identical WAVs to the
+        one-shot writer (the recorder streams to disk instead of
+        buffering hours of capture in RAM)."""
+        import numpy as np
+
+        from sdrtpu.io import wav
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(-1, 1, (1000, 2)).astype(np.float32)
+        for st in ("int16", "float32", "uint8", "int32"):
+            whole = tmp_path / f"whole_{st}.wav"
+            inc = tmp_path / f"inc_{st}.wav"
+            wav.write_wav(str(whole), 48000, x, st)
+            with wav.WavWriter(str(inc), 48000, 2, st) as w:
+                for i in range(0, 1000, 256):
+                    w.append(x[i:i + 256])
+            assert whole.read_bytes() == inc.read_bytes(), st
+
+    def test_append_iq_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from sdrtpu.io import wav
+
+        rng = np.random.default_rng(4)
+        iq = (rng.uniform(-0.9, 0.9, 500)
+              + 1j * rng.uniform(-0.9, 0.9, 500)).astype(np.complex64)
+        p = tmp_path / "iq.wav"
+        with wav.WavWriter(str(p), 250000, 2, "float32") as w:
+            w.append_iq(iq[:200])
+            w.append_iq(iq[200:])
+        info, back = wav.read_iq_wav(str(p))
+        assert info.samplerate == 250000
+        np.testing.assert_allclose(back, iq, atol=1e-6)
+
+    def test_scheduler_exception_does_not_kill_others(self):
+        import datetime
+
+        from sdrtpu.apps.scheduler import Scheduler, Task
+
+        sched = Scheduler()
+        ran = []
+        t0 = datetime.datetime(2026, 1, 1)
+
+        def boom():
+            raise RuntimeError("task failed")
+
+        sched.add(Task(at=t0, action=boom, name="bad"))
+        sched.add(Task(at=t0, action=lambda: ran.append(1), name="good"))
+        # a raising action must not stop the other due task or propagate
+        assert sched.tick(now=t0) == 2
+        assert ran == [1]
+
+    def test_scheduler_action_may_reschedule(self):
+        import datetime
+
+        from sdrtpu.apps.scheduler import Scheduler, Task
+
+        sched = Scheduler()
+        t0 = datetime.datetime(2026, 1, 1)
+        later = t0 + datetime.timedelta(hours=1)
+        sched.add(Task(
+            at=t0, name="self-rescheduling",
+            action=lambda: sched.add(Task(at=later, action=lambda: None)),
+        ))
+        assert sched.tick(now=t0) == 1  # must not deadlock on the lock
+        assert len(sched.tasks) == 1 and sched.tasks[0].at == later
