@@ -144,7 +144,15 @@ def main():
               "unit": "t1/tN (equal per-device work)",
               "n_devices": n_dev, "channels": C}
     if n_dev >= 2:
+        # channel axis must divide the channel count (NamedSharding needs
+        # equal shards and the weak-scaling formula assumes equal work);
+        # e.g. --virtual 6 with 64 channels shards over 4 devices
         n_shard = min(n_dev, C)
+        while C % n_shard:
+            n_shard -= 1
+        if n_shard != min(n_dev, C):
+            log(f"note: using {n_shard} of {n_dev} devices "
+                f"({C} channels must split evenly)")
         mesh = make_mesh(n_channel=n_shard, n_time=1)
         st_sh = shard_channel_state(mesh, st_all, C)
         fn_sh = jax.jit(step_all)

@@ -109,7 +109,7 @@ def main() -> int:
 
     def on_audio(a):
         if state["recorder"] is not None:
-            state["recorder"].push(a.T)
+            state["recorder"].push(a)  # Recorder.push takes (2, n) audio
 
     rx = Receiver(fe, audio_sinks={"scan": on_audio},
                   spectrum_sink=on_spectrum)
@@ -127,6 +127,16 @@ def main() -> int:
         ok = (-300_000 in hits) and (200_000 in hits)
         recs = [f for f in os.listdir(out_dir) if f.endswith(".wav")]
         ok = ok and len(recs) >= 2
+        # validate recording CONTENT, not just existence: stereo 48 kHz
+        # frames with real audio energy (a transposed write would produce
+        # a ~12000-channel 2-frame file)
+        from sdrtpu.io import wav as wavmod
+
+        for f in recs:
+            info, data = wavmod.read_wav(os.path.join(out_dir, f))
+            ok = ok and info.channels == 2 and info.samplerate == 48000
+            ok = ok and data.shape[0] > 4800  # >0.1 s of frames
+            ok = ok and float(np.std(data)) > 1e-4
         print("SELFTEST", "OK" if ok else "FAILED", f"recordings={recs}",
               flush=True)
         return 0 if ok else 1

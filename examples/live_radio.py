@@ -32,17 +32,25 @@ from sdrtpu.io.audio_sink import AudioSink
 from sdrtpu.io.net import IqExporter, NetworkSource
 
 
-def make_station(fs: float, offset: float, n: int, t0: int = 0) -> np.ndarray:
-    """Synthesized stereo WFM station at `offset` Hz (pilot + L-R)."""
+def make_station(fs: float, offset: float, n: int, t0: int = 0,
+                 mod_phase: float = 0.0) -> tuple[np.ndarray, float]:
+    """Synthesized stereo WFM station at `offset` Hz (pilot + L-R).
+
+    ``mod_phase`` carries the FM modulation-phase integral across chunked
+    calls (returned as the second element) — restarting the cumsum at
+    zero per chunk would put a tens-of-radians phase step at every chunk
+    boundary (a click train + splatter instead of a continuous station).
+    """
     t = (t0 + np.arange(n)) / fs
     left = np.sin(2 * np.pi * 440.0 * t)
     right = np.sin(2 * np.pi * 1200.0 * t)
     mpx = (0.45 * (left + right) / 2 + 0.1 * np.sin(2 * np.pi * 19000.0 * t)
            + 0.45 * ((left - right) / 2) * np.sin(2 * np.pi * 38000.0 * t))
-    phase = np.cumsum(2 * np.pi * 75000.0 * mpx / fs)
-    return (0.6 * np.exp(1j * (2 * np.pi * offset * t + phase))).astype(
+    phase = mod_phase + np.cumsum(2 * np.pi * 75000.0 * mpx / fs)
+    iq = (0.6 * np.exp(1j * (2 * np.pi * offset * t + phase))).astype(
         np.complex64
     )
+    return iq, float(phase[-1] % (2 * np.pi))
 
 
 def feeder(port: int, fs: float, offset: float, seconds: float) -> None:
@@ -50,13 +58,16 @@ def feeder(port: int, fs: float, offset: float, seconds: float) -> None:
     exp = IqExporter("tcp-client", "127.0.0.1", port)
     chunk = int(fs / 50)  # 20 ms sends
     sent = 0
+    mod_phase = 0.0
     start = time.monotonic()
     while sent < seconds * fs:
         due = start + sent / fs
         now = time.monotonic()
         if due > now:
             time.sleep(due - now)
-        exp.send(make_station(fs, offset, chunk, t0=sent))
+        iq, mod_phase = make_station(fs, offset, chunk, t0=sent,
+                                     mod_phase=mod_phase)
+        exp.send(iq)
         sent += chunk
     exp.close()
 

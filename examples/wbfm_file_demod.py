@@ -51,8 +51,11 @@ def main() -> int:
         audio_sinks={"wfm0": lambda a: audio_out.append(np.asarray(a))},
     )
     rx.push(iq)
-    rx.drain()
+    rx.flush()  # dispatches the partial tail block too (trimmed)
 
+    if not audio_out:
+        print("capture produced no audio (shorter than one block?)")
+        return 1
     audio = np.concatenate(audio_out, axis=-1)  # (2, n) stereo 48 kHz
     out = os.path.join(tmp, "audio.wav")
     wav.write_wav(out, 48000, audio.T)

@@ -54,6 +54,7 @@ def main() -> int:
               "block; record a longer capture", file=sys.stderr)
         return 1
     t0 = 0
+    mod_phase = 0.0  # FM phase integral carried across blocks
     try:
         while True:
             if iq is not None:
@@ -65,7 +66,8 @@ def main() -> int:
                 t = (t0 + np.arange(block)) / fs
                 mpx = (0.6 * np.sin(2 * np.pi * 800.0 * t)
                        + 0.1 * np.sin(2 * np.pi * 19000.0 * t))
-                ph = np.cumsum(2 * np.pi * 75000.0 * mpx / fs)
+                ph = mod_phase + np.cumsum(2 * np.pi * 75000.0 * mpx / fs)
+                mod_phase = float(ph[-1] % (2 * np.pi))
                 x = (0.5 * np.exp(1j * (2 * np.pi * args.offset * t + ph))
                      ).astype(np.complex64)
             rx.push(x)

@@ -218,15 +218,25 @@ class TestMetrics:
         m = MetricsRegistry()
         thr = m.throughput("in", samplerate=1e6, clock=lambda: t[0])
         thr.add(500_000); t[0] = 0.25; thr.add(500_000)
-        assert thr.rate == 4e6 and thr.realtime_factor == 4.0
+        # the first add's samples arrived over an unknown interval before
+        # t0 and are excluded: 500k over 0.25 s = 2 Msps (not 4)
+        assert thr.rate == 2e6 and thr.realtime_factor == 2.0
         m.counter("frames").add(3)
         m.gauge("snr_db").set(23.5)
+        m.gauge("unset.snr_db")  # never set: must serialize as null
         snap = m.snapshot()
         assert snap["counters"]["frames"] == 3
         assert snap["gauges"]["snr_db"] == 23.5
-        assert snap["throughput"]["in"]["realtime_factor"] == 4.0
+        assert snap["gauges"]["unset.snr_db"] is None
+        assert snap["throughput"]["in"]["realtime_factor"] == 2.0
         import json
-        json.loads(m.to_json())
+        json.loads(m.to_json())  # strict JSON (no NaN tokens)
+        # windowed rate recovers after a pause (lifetime average would
+        # stay blended forever)
+        t[0] = 10.0; thr.add(250_000)   # completes the stale first window
+        t[0] = 13.0; thr.add(750_000)   # fresh window: 750k over 3 s
+        assert thr.window_rate is not None
+        assert abs(thr.window_rate - 750_000 / 3.0) < 1.0
 
     def test_receiver_integration(self):
         import numpy as np
