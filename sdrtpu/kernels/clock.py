@@ -71,7 +71,15 @@ class MuellerMuller(StreamOp):
         self.dtype = np.complex64 if complex_mode else np.float32
 
     def max_out(self, n: int) -> int:
-        return int(np.ceil(n / (self.omega * (1.0 - self.omega_rel_limit)))) + 2
+        # worst-case per-symbol advance: freq clamps at fmin but the mu
+        # term still subtracts a clipped err (advance = freq + mu_gain*err,
+        # err in [-1, 1]) — bounding by fmin alone can drop symbols when
+        # err stays pinned negative.  Floor at 1 sample/symbol (advance
+        # below that is nonphysical for omega >= 1 syncs).
+        worst = max(
+            self.omega * (1.0 - self.omega_rel_limit) - self.mu_gain, 1.0
+        )
+        return int(np.ceil(n / worst)) + 2
 
     def init_state(self):
         return {

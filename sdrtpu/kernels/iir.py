@@ -114,5 +114,12 @@ class DcBlocker(StreamOp):
         state = jnp.asarray(state)
         rate = jnp.asarray(self.rate, x.dtype)
         offsets = first_order_recurrence(1.0 - rate, rate * x, state)
-        prev = jnp.concatenate([state[None], offsets[:-1]])
-        return offsets[-1], x - prev
+        # last-axis ops so batched (..., n) blocks work like the sibling
+        # ops (state broadcasts across the leading axes)
+        prev = jnp.concatenate(
+            [jnp.broadcast_to(state, offsets[..., :1].shape),
+             offsets[..., :-1]],
+            axis=-1,
+        )
+        new_state = offsets[..., -1] if offsets.ndim == 1 else offsets[..., -1:]
+        return new_state, x - prev

@@ -233,11 +233,14 @@ def pilot_phase_fit(p: jax.Array, f_nominal: float, fs: float) -> jax.Array:
     resid = p * jnp.exp(-1j * omega * idx)
     theta = jnp.unwrap(jnp.arctan2(resid.imag, resid.real))
     # LS fit a + b*n
+    # reduce over the TIME axis only: batched (..., n) pilots fit
+    # independently per leading index (mixing channels into one scalar
+    # fit would silently wreck every channel's stereo decode)
     nf = np.float32(n)
     sx = jnp.sum(idx)
     sxx = jnp.sum(idx * idx)
-    sy = jnp.sum(theta)
-    sxy = jnp.sum(idx * theta)
+    sy = jnp.sum(theta, axis=-1, keepdims=True)
+    sxy = jnp.sum(idx * theta, axis=-1, keepdims=True)
     denom = nf * sxx - sx * sx
     b = (nf * sxy - sx * sy) / denom
     a = (sy - b * sx) / nf

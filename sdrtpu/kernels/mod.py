@@ -30,11 +30,38 @@ class QuadratureMod(StreamOp):
     def init_state(self):
         return np.float32(0.0)
 
+    # chunk length for the two-level wrapped cumsum: within-chunk phase
+    # stays < ~CHUNK*pi rad, where float32 spacing is ~1e-5 rad — a raw
+    # full-block cumsum reaches ~1e6 rad on 1 MSample blocks, where
+    # float32 spacing is 0.125 rad (degrees of phasor wobble)
+    _CHUNK = 64
+
     def __call__(self, state, x):
-        phase = jnp.asarray(state) + jnp.cumsum(self.dev * x, axis=-1)
-        # wrap only the carried scalar; e^{j phase} is periodic anyway, but
-        # keep the carry small for float32 health
-        new_state = jnp.mod(phase[..., -1] + np.pi, 2 * np.pi) - np.pi
+        n = x.shape[-1]
+        d = self.dev * x
+        K = self._CHUNK
+        if n % K:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, K - n % K)]
+            d = jnp.pad(d, pad)
+        nc = d.shape[-1] // K
+        dc = d.reshape(d.shape[:-1] + (nc, K))
+        within = jnp.cumsum(dc, axis=-1)  # (..., nc, K), magnitude < K*pi
+        # chunk offsets: wrapped running sum of per-chunk totals (exact
+        # mod arithmetic on small numbers — no precision loss)
+        totals = within[..., -1]
+
+        def body(c, t):
+            return jnp.mod(c + t, np.float32(2 * np.pi)), c
+
+        c0 = jnp.broadcast_to(
+            jnp.asarray(state, jnp.float32), totals[..., 0].shape
+        )
+        carry, offs = jax.lax.scan(body, c0, jnp.moveaxis(totals, -1, 0))
+        offs = jnp.moveaxis(offs, 0, -1)  # (..., nc), each in [0, 2pi)
+        phase = (offs[..., None] + within).reshape(d.shape)[..., :n]
+        new_state = jnp.mod(
+            carry + np.pi, np.float32(2 * np.pi)
+        ) - np.float32(np.pi)
         return new_state, jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
 

@@ -261,7 +261,9 @@ class FusedChannelizerStage:
         y_re = y_re[:, :n_out]
         y_im = y_im[:, :n_out]
         new_state = {
-            "tail": x[-self.halo:],
+            # x[-0:] would be the WHOLE block; single-tap filters carry
+            # an empty tail
+            "tail": x[-self.halo:] if self.halo else x[:0],
             "phase": jnp.mod(
                 ph + jnp.asarray(self.block_delta), np.float32(2 * np.pi)
             ),

@@ -50,9 +50,16 @@ class NoiseBlanker(StreamOp):
     def __call__(self, state, x):
         state = jnp.asarray(state)
         amps = jnp.abs(x).astype(jnp.float32)
-        avg = first_order_recurrence(
-            np.float32(1.0) - self.rate, self.rate * amps, state
-        )
+        # the reference SKIPS the average update on zero-amplitude
+        # samples (noise_blanker.h:38-57) — without this, an all-zero
+        # stretch (closed squelch upstream) decays the average toward 0
+        # and the first real samples after it are crushed by 1/excess.
+        # Conditional hold is still a first-order affine recurrence with
+        # per-sample coefficients: zero samples get (a=1, b=0).
+        live = amps != 0.0
+        a = jnp.where(live, np.float32(1.0) - self.rate, np.float32(1.0))
+        b = jnp.where(live, self.rate * amps, np.float32(0.0))
+        avg = first_order_recurrence(a, b, state)
         # reference updates amp *before* computing excess for the sample
         excess = amps / jnp.maximum(avg, 1e-20)
         gain = jnp.where(excess > self.level, 1.0 / excess, 1.0)

@@ -170,7 +170,16 @@ def root_raised_cosine_rate(
 
 
 def raised_cosine(count: int, beta: float, Ts: float) -> np.ndarray:
-    """Raised-cosine pulse taps (``raised_cosine.h:8-28``)."""
+    """Raised-cosine pulse taps (``raised_cosine.h:8-28``).
+
+    NOTE: this reproduces the reference's formula EXACTLY, including its
+    quirk — ``sinc(t/Ts) * pi/(4*Ts)`` everywhere except the |t| =
+    Ts/(2*beta) singularity points, i.e. beta has no effect away from
+    those points (the textbook raised cosine would multiply by
+    ``cos(pi*beta*t/Ts) / (1 - (2*beta*t/Ts)^2)``).  The reference
+    itself has no consumer of this function; use
+    `root_raised_cosine` (which is the standard formula) for pulse
+    shaping."""
     i = np.arange(count, dtype=np.float64)
     half = count / 2.0
     t = i - half + 0.5

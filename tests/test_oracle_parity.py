@@ -503,3 +503,26 @@ class TestMoreKernelOracles:
             [o.process(x[i: i + 4000]) for i in range(0, 20000, 4000)]
         )
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_noise_blanker_zero_stretch(self):
+        """The reference SKIPS the average update on zero samples — an
+        all-zero stretch (closed squelch upstream) must not decay the
+        average and crush the first real samples afterwards."""
+        from sdrtpu.kernels.squelch import NoiseBlanker
+
+        rng = np.random.default_rng(5)
+        sig = (0.5 * (rng.standard_normal(4000)
+                      + 1j * rng.standard_normal(4000))).astype(np.complex64)
+        x = np.concatenate([sig[:1000], np.zeros(2000, np.complex64),
+                            sig[1000:]])
+        o = ref.RefNoiseBlanker(500.0 / 24000.0, 10.0)
+        k = NoiseBlanker(500.0 / 24000.0, 10.0)
+        got = run_blocks(k, x, 1500)
+        want = np.concatenate(
+            [o.process(x[i: i + 1500]) for i in range(0, len(x), 1500)]
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        # and the post-gap samples are NOT attenuated
+        post = got[3000:3100]
+        np.testing.assert_allclose(np.abs(post), np.abs(x[3000:3100]),
+                                   rtol=1e-3)
