@@ -181,20 +181,52 @@ def deframe_qpsk_symbols(symbols: np.ndarray, deframer: CcsdsDeframer | None = N
 
     Returns (frames, deframer) — the deframer keeps RS statistics.
     """
-    symbols = np.asarray(symbols)
-    rotations = [0, 1]
-    if deframer is not None and getattr(deframer, "_rot_phase", None) == 1:
-        rotations = [1, 0]  # keep the established lock phase first
-    for k in rotations:
-        rot = symbols if k == 0 else symbols * np.exp(-1j * np.pi / 2)
-        soft = np.empty(2 * len(rot), np.float32)
-        soft[0::2] = rot.real
-        soft[1::2] = rot.imag
-        d = deframer if deframer is not None else CcsdsDeframer()
-        if getattr(d, "_rot_phase", None) not in (None, k):
-            d._soft_tail = np.zeros(0, np.float32)  # tail from other phase
-        frames = d.process(soft)
-        if frames:
-            d._rot_phase = k
-            return frames, d
-    return [], deframer if deframer is not None else CcsdsDeframer()
+    if deframer is None:
+        deframer = QpskAmbiguityResolver()
+    return deframer.process(symbols), deframer
+
+
+class QpskAmbiguityResolver:
+    """Streaming 90-degree-ambiguity resolver over two `CcsdsDeframer`s.
+
+    Both rotation candidates keep their OWN streaming state (soft tails),
+    so frames straddling `process()` calls survive — a single deframer
+    fed alternating rotations would poison its carry with symbols from
+    the other phase and never sync on chunked input.  Once one phase
+    produces a frame the resolver locks to it (the other candidate is
+    dropped; a Costas re-lock to a new rotation mid-pass is a stream
+    restart in the reference too).
+    """
+
+    def __init__(self):
+        self._cands = [CcsdsDeframer(), CcsdsDeframer()]
+        self.locked: int | None = None
+
+    @property
+    def deframer(self) -> CcsdsDeframer:
+        """The active deframer (frames / rs_errors statistics)."""
+        return self._cands[self.locked if self.locked is not None else 0]
+
+    @property
+    def frames(self) -> list[np.ndarray]:
+        return self.deframer.frames
+
+    @property
+    def rs_errors(self) -> list[int]:
+        return self.deframer.rs_errors
+
+    def process(self, symbols: np.ndarray) -> list[np.ndarray]:
+        symbols = np.asarray(symbols)
+        ks = (self.locked,) if self.locked is not None else (0, 1)
+        new: list[np.ndarray] = []
+        for k in ks:
+            rot = symbols if k == 0 else symbols * np.complex64(-1j)
+            soft = np.empty(2 * len(rot), np.float32)
+            soft[0::2] = rot.real
+            soft[1::2] = rot.imag
+            frames = self._cands[k].process(soft)
+            if frames and self.locked is None:
+                self.locked = k
+                self._cands[1 - k] = self._cands[k]  # free the loser
+            new += frames
+        return new

@@ -162,7 +162,11 @@ class FalconPacketSync:
         start = len(self.packets)
         counter, pointer = self.parse_header(frame)
         data = np.asarray(frame, np.uint8)[4 : 4 + FRAME_DATA_LEN]
-        if self._last_counter is not None and counter != self._last_counter + 1:
+        expected = (
+            (self._last_counter + 1) & 0x7FFFF  # 19-bit counter wraps
+            if self._last_counter is not None else None
+        )
+        if expected is not None and counter != expected:
             self._partial = None  # missed frame: drop the partial packet
         self._last_counter = counter
 

@@ -51,13 +51,8 @@ INTERLEAVER = np.array(
     [(45 * x + 92 * x * x) % FRAME_BITS for x in range(FRAME_BITS)], np.int32
 )
 
-# puncturing patterns (M17 spec P1/P2)
-P1 = np.array(
-    [1, 1, 0, 1] * 15 + [1],  # 61-entry: 1101 repeated, ending with 1
-    np.uint8,
-)
-# the spec P1 is actually the 61-bit pattern used modulo; reproduce the
-# reference's exact sequence: starts 1,1,0,1,1,1,0,1,...
+# puncturing patterns (M17 spec P1/P2): P1 is the 61-entry sequence
+# 1,1 then repeating 1,1,0,1 phase-aligned so entries at i%4==2 are 0
 P1 = np.array([1, 1] + [1 if (i % 4) != 2 else 0 for i in range(2, 61)], np.uint8)
 P2 = np.array([1] * 11 + [0], np.uint8)
 

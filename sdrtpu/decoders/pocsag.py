@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 FRAME_SYNC = 0b01111100110100100001010111011000
-IDLE_DATA = 0b011110101100100111000
+IDLE_DATA = 0x7A89C197 >> 11  # standard idle codeword's 21-bit data field
 GEN_POLY = 0b11101101001  # degree-10 BCH generator
 SYNC_DIST = 4
 BATCH_CODEWORDS = 16
@@ -152,7 +152,13 @@ class PocsagDecoder:
                 data = (cw >> 11) & 0xFFFFF
                 if self._msg_type == MESSAGE_NUMERIC:
                     for shift in (16, 12, 8, 4, 0):
-                        self._msg += NUMERIC_CHARSET[(data >> shift) & 0xF]
+                        nib = (data >> shift) & 0xF
+                        # BCD digits are transmitted LSB-first (like the
+                        # 7-bit alphanumeric path below): reverse the
+                        # nibble before indexing the charset
+                        nib = ((nib & 1) << 3) | ((nib & 2) << 1) \
+                            | ((nib & 4) >> 1) | ((nib & 8) >> 3)
+                        self._msg += NUMERIC_CHARSET[nib]
                 else:
                     for k in range(19, -1, -1):
                         self._char |= ((data >> k) & 1) << self._char_off
@@ -178,11 +184,17 @@ def build_transmission(
     idle = encode_codeword(IDLE_DATA)
     pos = frame * 2
     addr_data = (0 << 20) | (((addr >> 3) & 0x3FFFF) << 2) | msg_type
-    # pack message bits
+    # pack message bits (both alpha chars and BCD nibbles go LSB-first)
     bits = []
-    for ch in text:
-        for k in range(7):
-            bits.append((ord(ch) >> k) & 1)
+    if msg_type == MESSAGE_NUMERIC:
+        for ch in text:
+            nib = NUMERIC_CHARSET.index(ch)
+            for k in range(4):
+                bits.append((nib >> k) & 1)
+    else:
+        for ch in text:
+            for k in range(7):
+                bits.append((ord(ch) >> k) & 1)
     while len(bits) % 20:
         bits.append(0)
     words = []

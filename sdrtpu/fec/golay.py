@@ -11,7 +11,12 @@ from __future__ import annotations
 
 import numpy as np
 
-_POLY = 0xAE3  # x^11 + x^10 + x^6 + x^5 + x^4 + x^2 + x + 1 (Golay generator)
+# Golay(23,12) generator used by M17 (m17-cxx-demod POLY=0xC75):
+# x^11 + x^10 + x^6 + x^5 + x^4 + x^2 + 1.  (0xAE3, its bit reversal,
+# generates the MIRROR-IMAGE code: self-consistent in loopback but no
+# real M17 LICH word would decode.)  encode24(0x555) == 0x555D0D, the
+# reference's own test vector.
+_POLY = 0xC75
 
 
 def _golay_checkbits(data: int) -> int:

@@ -153,7 +153,6 @@ class ReedSolomon:
             return r[: self.k].astype(np.uint8), -1
 
         # Forney: error magnitudes.  Omega = S(x)*Lambda(x) mod x^nroots
-        S_poly = synd[::-1]  # S as polynomial, low-order first is synd[0]
         omega = np.zeros(self.nroots, np.int32)
         for i in range(L + 1):
             for j in range(self.nroots - i):

@@ -138,3 +138,24 @@ def test_meteor_rf_end_to_end():
         any(np.array_equal(f, cv) for cv in cvs) for f in frames
     )
     assert matched >= 2, f"only {matched} frames matched payload"
+
+
+def test_chunked_qpsk_streaming():
+    """Symbols fed in chunks smaller than one frame must still decode:
+    each rotation candidate keeps its own streaming tail."""
+    from sdrtpu.decoders.ccsds import deframe_qpsk_symbols
+
+    enc = CcsdsEncoder()
+    cvs = [RNG.integers(0, 256, CVCDU_BYTES).astype(np.uint8)
+           for _ in range(4)]
+    soft = enc.encode(cvs)
+    syms = (soft[0::2] + 1j * soft[1::2]).astype(np.complex64)
+    syms *= np.exp(1j * np.pi / 2)  # Costas locked 90 deg off
+    frames, dec = [], None
+    for i in range(0, len(syms), 3000):  # < 1 frame (8224 syms) per call
+        f, dec = deframe_qpsk_symbols(syms[i:i + 3000], dec)
+        frames += f
+    assert len(frames) == 4, len(frames)
+    for got, want in zip(frames, cvs):
+        np.testing.assert_array_equal(got, want)
+    assert dec.rs_errors == [0, 0, 0, 0]

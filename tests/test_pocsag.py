@@ -82,3 +82,26 @@ class TestRfLoopback:
         dec.process(got_bits)
         assert dec.messages, "no message decoded over RF loopback"
         assert dec.messages[0][2].startswith("RF OK")
+
+
+class TestNumericAndIdle:
+    def test_numeric_page_roundtrip(self):
+        """BCD digits travel LSB-first per nibble: digit '1' is on-air
+        nibble 0b1000 (the raw-nibble decode would print '8')."""
+        from sdrtpu.decoders.pocsag import MESSAGE_NUMERIC
+
+        bits = build_transmission(0x1F40, "12345*U-", frame=1,
+                                  msg_type=MESSAGE_NUMERIC)
+        dec = PocsagDecoder()
+        dec.process(bits)
+        assert dec.messages, "no numeric message decoded"
+        addr, mtype, text = dec.messages[0]
+        assert mtype == MESSAGE_NUMERIC
+        assert text.startswith("12345*U-"), text
+
+    def test_idle_codeword_is_standard(self):
+        """IDLE_DATA must encode to the published idle word 0x7A89C197
+        (a wrong constant makes real idle words parse as addresses)."""
+        from sdrtpu.decoders.pocsag import IDLE_DATA
+
+        assert encode_codeword(IDLE_DATA) == 0x7A89C197
