@@ -222,6 +222,8 @@ class AudioSink:
     def close(self) -> None:
         tail = self.packer.flush()
         if tail is not None:
+            if self.volume != 1.0:  # same scaling as the full packets
+                tail = tail * np.float32(self.volume)
             self.backend.write(tail)
             self.packets += 1
         self.backend.close()

@@ -24,6 +24,7 @@ PKT_USB = 0x01
 PKT_DISCOVER = 0x02
 PKT_CONTROL = 0x04
 CTRL_IQ = 1 << 0
+CTRL_NO_WD = 1 << 7  # disable the gateware watchdog (hermes.h:28)
 SAMPLES_PER_FRAME = 63
 SYNC = b"\x7f\x7f\x7f"
 
@@ -55,9 +56,12 @@ def discover(broadcast: str = "255.255.255.255", port: int = 1024,
                 found.append(DiscoveredDevice(
                     addr=addr,
                     mac=data[3:9],
-                    gateware_major=data[9],
-                    gateware_minor=data[10] if len(data) > 10 else 0,
-                    board_id=data[-1] if len(data) > 11 else 0,
+                    # byte offsets per the reference parse
+                    # (hermes.cpp:264-265: major at 0x09, minor at 0x15)
+                    # and the Metis discovery layout (board id at 0x0A)
+                    gateware_major=data[0x09],
+                    gateware_minor=data[0x15] if len(data) > 0x15 else 0,
+                    board_id=data[0x0A] if len(data) > 0x0A else 0,
                 ))
     except socket.timeout:
         pass
@@ -123,7 +127,11 @@ class HermesClient:
 
     def start(self):
         self._running = True
-        pkt = struct.pack(">HBB", METIS_SIGNATURE, PKT_CONTROL, CTRL_IQ) + bytes(60)
+        # IQ | NO_WD: without the watchdog-disable bit the gateware halts
+        # the stream ~1-2 s after the last EP2 frame (we only send EP2 on
+        # start/retune) — the reference always sets it (hermes.cpp:31)
+        pkt = struct.pack(">HBB", METIS_SIGNATURE, PKT_CONTROL,
+                          CTRL_IQ | CTRL_NO_WD) + bytes(60)
         self._sock.sendto(pkt, self.addr)
         self._thread = threading.Thread(target=self._rx_loop, daemon=True)
         self._thread.start()

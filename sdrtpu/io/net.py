@@ -111,7 +111,8 @@ class IqExporter:
             conn.sendall(data)
         except OSError:
             with self._lock:
-                self._conn = None
+                if self._conn is conn:  # don't clobber a reconnect
+                    self._conn = None
 
     def close(self):
         if self.mode == "tcp-server":

@@ -105,6 +105,7 @@ class SdrppServer:
         self.use_compression = False
         self._client: socket.socket | None = None
         self._lock = threading.Lock()
+        self._wlock = threading.Lock()  # serializes writes to the client
         self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._listener.bind((host, port))
@@ -129,8 +130,32 @@ class SdrppServer:
                     conn.close()
                     continue
                 self._client = conn
+            # per-connect settings reset + samplerate announce
+            # (server.cpp:191-196): stop the source, PCM i16, compression
+            # off, then PUSH the rate as a COMMAND — the reference client
+            # only learns the samplerate from this packet (it never sends
+            # GET_SAMPLERATE)
+            self.running = False
+            if self.stop_callback:
+                self.stop_callback()
+            self.sample_type = compression.PCM_TYPE_I16
+            self.use_compression = False
+            try:
+                self._send(conn, PKT_COMMAND,
+                           struct.pack("<Id", CMD_SET_SAMPLERATE,
+                                       self.samplerate))
+            except OSError:
+                pass
             t = threading.Thread(target=self._client_loop, args=(conn,), daemon=True)
             t.start()
+
+    def _send(self, conn, ptype: int, payload: bytes = b"") -> None:
+        """All writes to the client socket serialize through one lock:
+        the streaming thread (send_baseband) and the command thread
+        (ACK/UI replies) share the connection, and interleaved sendall
+        calls would corrupt the packet framing."""
+        with self._wlock:
+            write_packet(conn, ptype, payload)
 
     def _client_loop(self, conn: socket.socket):
         while self._alive:
@@ -139,7 +164,7 @@ class SdrppServer:
                 break
             ptype, payload = pkt
             if ptype != PKT_COMMAND or len(payload) < 4:
-                write_packet(conn, PKT_ERROR, struct.pack("<I", 1))
+                self._send(conn, PKT_ERROR, struct.pack("<I", 1))
                 continue
             (cmd,) = struct.unpack("<I", payload[:4])
             args = payload[4:]
@@ -152,7 +177,7 @@ class SdrppServer:
     def _handle_command(self, conn, cmd, args):
         if cmd == CMD_GET_UI:
             ui = self.menu.render() if self.menu else b""
-            write_packet(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_GET_UI) + ui)
+            self._send(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_GET_UI) + ui)
         elif cmd == CMD_UI_ACTION and len(args) >= 3:
             # u8 sendback + diffId item + diffValue item (server.cpp:252-279)
             sendback = bool(args[0])
@@ -160,52 +185,56 @@ class SdrppServer:
                 diff_id, off = smgui.load_item(args, 1)
                 diff_value, _ = smgui.load_item(args, off)
             except (ValueError, IndexError, struct.error):
-                write_packet(conn, PKT_ERROR, struct.pack("<I", 1))
+                self._send(conn, PKT_ERROR, struct.pack("<I", 1))
                 return
             if diff_id.type != smgui.ELEM_STRING:
-                write_packet(conn, PKT_ERROR, struct.pack("<I", 1))
+                self._send(conn, PKT_ERROR, struct.pack("<I", 1))
                 return
             if self.menu is None:
                 if sendback:
-                    write_packet(
+                    self._send(
                         conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_UI_ACTION)
                     )
                 return
             ui = self.menu.render(diff_id.s, diff_value)
             if sendback:
-                write_packet(
+                self._send(
                     conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_UI_ACTION) + ui
                 )
         elif cmd == CMD_START:
             self.running = True
             if self.start_callback:
                 self.start_callback()
-            write_packet(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_START))
+            self._send(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_START))
         elif cmd == CMD_STOP:
             self.running = False
             if self.stop_callback:
                 self.stop_callback()
-            write_packet(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_STOP))
+            self._send(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_STOP))
         elif cmd == CMD_SET_FREQUENCY and len(args) >= 8:
             (freq,) = struct.unpack("<d", args[:8])
             if self.tune_callback:
                 self.tune_callback(freq)
-            write_packet(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_SET_FREQUENCY))
+            self._send(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_SET_FREQUENCY))
         elif cmd == CMD_GET_SAMPLERATE:
-            write_packet(
+            # replied as a COMMAND (sendSampleRate, server.cpp:361-369) —
+            # the reference client only parses SET_SAMPLERATE from
+            # PKT_COMMAND packets
+            self._send(
                 conn,
-                PKT_COMMAND_ACK,
+                PKT_COMMAND,
                 struct.pack("<Id", CMD_SET_SAMPLERATE, self.samplerate),
             )
-        elif cmd == CMD_SET_SAMPLE_TYPE and len(args) >= 4:
-            (self.sample_type,) = struct.unpack("<I", args[:4])
-            write_packet(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_SET_SAMPLE_TYPE))
-        elif cmd == CMD_SET_COMPRESSION and len(args) >= 4:
-            (flag,) = struct.unpack("<I", args[:4])
-            self.use_compression = bool(flag) and compression.HAVE_ZSTD
-            write_packet(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_SET_COMPRESSION))
+        elif cmd == CMD_SET_SAMPLE_TYPE and len(args) >= 1:
+            # u8 on the wire (server.cpp:294 requires len==1); reading
+            # byte 0 also tolerates a 4-byte little-endian encoding
+            self.sample_type = args[0]
+            self._send(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_SET_SAMPLE_TYPE))
+        elif cmd == CMD_SET_COMPRESSION and len(args) >= 1:
+            self.use_compression = bool(args[0]) and compression.HAVE_ZSTD
+            self._send(conn, PKT_COMMAND_ACK, struct.pack("<I", CMD_SET_COMPRESSION))
         else:
-            write_packet(conn, PKT_ERROR, struct.pack("<I", 2))
+            self._send(conn, PKT_ERROR, struct.pack("<I", 2))
 
     def send_baseband(self, iq: np.ndarray) -> None:
         with self._lock:
@@ -219,10 +248,11 @@ class SdrppServer:
         else:
             ptype = PKT_BASEBAND
         try:
-            write_packet(conn, ptype, payload)
+            self._send(conn, ptype, payload)
         except OSError:
             with self._lock:
-                self._client = None
+                if self._client is conn:  # don't clobber a reconnect
+                    self._client = None
 
     def close(self):
         self._alive = False
@@ -233,10 +263,19 @@ class SdrppServer:
 
 
 class SdrppClient:
-    """Client of the server protocol (``sdrpp_server_source`` parity)."""
+    """Client of the server protocol (``sdrpp_server_source`` parity).
+
+    ``samplerate`` updates whenever the server pushes SET_SAMPLERATE (on
+    connect and on rate changes) — the reference client learns the rate
+    the same way (``sdrpp_server_client.cpp:182``).  Baseband packets
+    arriving while a command waits for its ACK are buffered, not
+    dropped.
+    """
 
     def __init__(self, host: str, port: int):
         self._sock = socket.create_connection((host, port))
+        self.samplerate: float | None = None
+        self._pending_bb: list[np.ndarray] = []
 
     def _command(self, cmd: int, args: bytes = b"") -> None:
         write_packet(self._sock, PKT_COMMAND, struct.pack("<I", cmd) + args)
@@ -251,10 +290,27 @@ class SdrppClient:
         self._command(CMD_SET_FREQUENCY, struct.pack("<d", freq))
 
     def set_sample_type(self, pcm_type: int):
-        self._command(CMD_SET_SAMPLE_TYPE, struct.pack("<I", pcm_type))
+        # u8 on the wire — the reference server requires len==1
+        # (``server.cpp:294``)
+        self._command(CMD_SET_SAMPLE_TYPE, bytes([pcm_type]))
 
     def set_compression(self, enabled: bool):
-        self._command(CMD_SET_COMPRESSION, struct.pack("<I", int(enabled)))
+        self._command(CMD_SET_COMPRESSION, bytes([int(enabled)]))
+
+    def _absorb(self, ptype: int, payload: bytes) -> None:
+        """Handle stream packets seen while waiting for something else:
+        baseband is BUFFERED (dropping it would gap recordings on every
+        UI round trip), samplerate pushes update ``self.samplerate``."""
+        if ptype == PKT_BASEBAND:
+            self._pending_bb.append(compression.decompress(payload))
+        elif ptype == PKT_BASEBAND_COMPRESSED:
+            self._pending_bb.append(
+                compression.decompress(compression.zstd_decompress(payload))
+            )
+        elif ptype == PKT_COMMAND and len(payload) >= 12:
+            (cmd,) = struct.unpack("<I", payload[:4])
+            if cmd == CMD_SET_SAMPLERATE:
+                (self.samplerate,) = struct.unpack("<d", payload[4:12])
 
     def _await_ack(self, cmd: int, timeout: float = 5.0) -> bytes:
         self._sock.settimeout(timeout)
@@ -268,6 +324,8 @@ class SdrppClient:
                     (acked,) = struct.unpack("<I", payload[:4])
                     if acked == cmd:
                         return payload[4:]
+                else:
+                    self._absorb(ptype, payload)
         finally:
             self._sock.settimeout(None)
 
@@ -301,15 +359,21 @@ class SdrppClient:
             if pkt is None:
                 raise ConnectionError("server closed")
             ptype, payload = pkt
-            if ptype == PKT_COMMAND_ACK and len(payload) >= 12:
+            # the rate arrives as a COMMAND (sendSampleRate); accept the
+            # legacy ACK-typed reply too
+            if ptype in (PKT_COMMAND, PKT_COMMAND_ACK) and len(payload) >= 12:
                 cmd, value = struct.unpack("<Id", payload[:12])
                 if cmd == CMD_SET_SAMPLERATE:
+                    self.samplerate = value
                     return value
+            self._absorb(ptype, payload)
 
     def recv(self) -> tuple[int, bytes] | None:
         return read_packet(self._sock)
 
     def recv_baseband(self, timeout: float = 5.0) -> np.ndarray | None:
+        if self._pending_bb:
+            return self._pending_bb.pop(0)
         self._sock.settimeout(timeout)
         try:
             while True:
@@ -323,6 +387,7 @@ class SdrppClient:
                     return compression.decompress(
                         compression.zstd_decompress(payload)
                     )
+                self._absorb(ptype, payload)
         finally:
             self._sock.settimeout(None)
 

@@ -130,9 +130,13 @@ class SpyServerClient:
             body = self._recv_exact(size)
             if body is None:
                 return
-            self._handle(mtype, body)
+            # MessageType carries the applied digital gain in its upper
+            # 16 bits (spyserver_client.cpp:124-125); comparing the raw
+            # field would drop every message once the server reports a
+            # nonzero gain
+            self._handle(mtype & 0xFFFF, body, mflags=mtype >> 16)
 
-    def _handle(self, mtype: int, body: bytes):
+    def _handle(self, mtype: int, body: bytes, mflags: int = 0):
         if mtype == MSG_DEVICE_INFO and len(body) >= 48:
             self.device_info = DeviceInfo(*struct.unpack("<12I", body[:48]))
             self._info_event.set()
@@ -143,13 +147,19 @@ class SpyServerClient:
                     "min_fft_center_frequency", "max_fft_center_frequency")
             self.client_sync = dict(zip(keys, struct.unpack("<9I", body[:36])))
         elif mtype in (MSG_UINT8_IQ, MSG_INT16_IQ, MSG_FLOAT_IQ):
+            # undo the server-applied digital gain reported in mflags
+            # (scale = 1/(10^(mflags/20) * full_scale),
+            # spyserver_client.cpp:136-160)
+            inv_gain = np.float32(10.0 ** (-mflags / 20.0))
             if mtype == MSG_UINT8_IQ:
                 x = np.frombuffer(body, np.uint8).astype(np.float32)
-                x = (x - 128.0) / 128.0
+                x = (x - 128.0) * (inv_gain / 128.0)
             elif mtype == MSG_INT16_IQ:
-                x = np.frombuffer(body, np.int16).astype(np.float32) / 32768.0
+                x = np.frombuffer(body, np.int16).astype(np.float32) * (
+                    inv_gain / 32768.0
+                )
             else:
-                x = np.frombuffer(body, np.float32)
+                x = np.frombuffer(body, np.float32) * inv_gain
             n = (len(x) // 2) * 2
             iq = (x[0:n:2] + 1j * x[1:n:2]).astype(np.complex64)
             with self._cv:

@@ -112,20 +112,7 @@ def write_wav(
     if x.ndim == 1:
         x = x[:, None]
     channels = x.shape[1]
-    if sample_type == "uint8":
-        data = (np.clip(x, -1, 1) * 127.0 + 128.0).astype(np.uint8)
-        fmt, bits = _FMT_PCM, 8
-    elif sample_type == "int16":
-        data = (np.clip(x, -1, 1) * 32767.0).astype(np.int16)
-        fmt, bits = _FMT_PCM, 16
-    elif sample_type == "int32":
-        data = (np.clip(x, -1, 1) * 2147483647.0).astype(np.int32)
-        fmt, bits = _FMT_PCM, 32
-    elif sample_type == "float32":
-        data = x.astype(np.float32)
-        fmt, bits = _FMT_IEEE_FLOAT, 32
-    else:
-        raise ValueError(f"unknown sample_type {sample_type}")
+    data, fmt, bits = _convert_samples(x, sample_type)
     payload = data.tobytes()
     byte_rate = samplerate * channels * bits // 8
     block_align = channels * bits // 8

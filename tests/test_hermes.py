@@ -67,5 +67,9 @@ def test_client_stream():
     assert iq is not None and len(iq) >= 126
     np.testing.assert_allclose(iq[:126], 0.5 + 0.25j, atol=1e-6)
     time.sleep(0.6)
-    assert (PKT_CONTROL, CTRL_IQ) in got_ctrl
+    # start sets IQ | NO_WD — the reference always disables the gateware
+    # watchdog (hermes.cpp:31) since EP2 frames only flow on retunes
+    from sdrtpu.io.hermes import CTRL_NO_WD
+
+    assert (PKT_CONTROL, CTRL_IQ | CTRL_NO_WD) in got_ctrl
     cli.close()
