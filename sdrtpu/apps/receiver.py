@@ -535,8 +535,15 @@ class Receiver:
             self._pending = []
 
     def _emit(
-        self, audios, spec, batched: bool, valid_fraction: float = 1.0
+        self, baseband, audios, spec, batched: bool,
+        valid_fraction: float = 1.0,
     ) -> None:
+        # baseband sinks run here — OUTSIDE the state lock — so a blocking
+        # sink (e.g. a stalled SdrppServer client) can never freeze
+        # retune/save_checkpoint (advisor finding r2, receiver.py:563)
+        for sink in self.baseband_sinks:
+            for b in baseband:
+                sink(b)
         for name, sink in self.audio_sinks.items():
             if name in audios:
                 a = np.asarray(audios[name])
@@ -559,23 +566,19 @@ class Receiver:
 
     def _compute(self, block: np.ndarray, valid_fraction: float = 1.0):
         """One compiled step (caller holds the state lock); returns the
-        `_emit` payload so sink fan-out can run outside the lock."""
-        for sink in self.baseband_sinks:
-            sink(block if valid_fraction >= 1.0
-                 else block[: int(round(len(block) * valid_fraction))])
+        `_emit` payload so ALL sink fan-out runs outside the lock."""
+        bb = (block if valid_fraction >= 1.0
+              else block[: int(round(len(block) * valid_fraction))])
         re = np.ascontiguousarray(block.real)
         im = np.ascontiguousarray(block.imag)
         self._rstate, (audios, spec) = self._step(self._rstate, re, im)
-        return audios, spec, False, valid_fraction
+        return [bb], audios, spec, False, valid_fraction
 
     def _compute_batch(self, blocks: list[np.ndarray]):
-        for sink in self.baseband_sinks:
-            for b in blocks:
-                sink(b)
         re = np.stack([np.ascontiguousarray(b.real) for b in blocks])
         im = np.stack([np.ascontiguousarray(b.imag) for b in blocks])
         self._rstate, (audios, spec) = self._step_scan(self._rstate, re, im)
-        return audios, spec, True, 1.0
+        return list(blocks), audios, spec, True, 1.0
 
     def _dispatch(self, block: np.ndarray, valid_fraction: float = 1.0) -> None:
         with self._state_lock:

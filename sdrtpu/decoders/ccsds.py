@@ -225,8 +225,12 @@ class QpskAmbiguityResolver:
             soft[0::2] = rot.real
             soft[1::2] = rot.imag
             frames = self._cands[k].process(soft)
+            new += frames
             if frames and self.locked is None:
                 self.locked = k
                 self._cands[1 - k] = self._cands[k]  # free the loser
-            new += frames
+                # stop immediately: running the other rotation through the
+                # (now aliased) locked deframer would corrupt its streaming
+                # soft tail and drop frames straddling this call
+                break
         return new

@@ -147,19 +147,21 @@ class SpyServerClient:
                     "min_fft_center_frequency", "max_fft_center_frequency")
             self.client_sync = dict(zip(keys, struct.unpack("<9I", body[:36])))
         elif mtype in (MSG_UINT8_IQ, MSG_INT16_IQ, MSG_FLOAT_IQ):
-            # undo the server-applied digital gain reported in mflags
-            # (scale = 1/(10^(mflags/20) * full_scale),
-            # spyserver_client.cpp:136-160)
-            inv_gain = np.float32(10.0 ** (-mflags / 20.0))
+            # the server reports its applied digital gain in mflags; the
+            # reference DIVIDES the integer formats by it
+            # (scale = 1/(gain * full_scale), spyserver_client.cpp:136-151)
+            # but MULTIPLIES the float format by it
+            # (spyserver_client.cpp:156-160) — match both verbatim
+            gain = np.float32(10.0 ** (mflags / 20.0))
             if mtype == MSG_UINT8_IQ:
                 x = np.frombuffer(body, np.uint8).astype(np.float32)
-                x = (x - 128.0) * (inv_gain / 128.0)
+                x = (x - 128.0) * (1.0 / (gain * 128.0))
             elif mtype == MSG_INT16_IQ:
                 x = np.frombuffer(body, np.int16).astype(np.float32) * (
-                    inv_gain / 32768.0
+                    1.0 / (gain * 32768.0)
                 )
             else:
-                x = np.frombuffer(body, np.float32) * inv_gain
+                x = np.frombuffer(body, np.float32) * gain
             n = (len(x) // 2) * 2
             iq = (x[0:n:2] + 1j * x[1:n:2]).astype(np.complex64)
             with self._cv:

@@ -159,3 +159,25 @@ def test_chunked_qpsk_streaming():
     for got, want in zip(frames, cvs):
         np.testing.assert_array_equal(got, want)
     assert dec.rs_errors == [0, 0, 0, 0]
+
+
+def test_chunked_qpsk_streaming_unrotated():
+    """Chunked input with NO rotation (k=0 locks first): after the lock
+    the other rotation candidate must never be fed into the (aliased)
+    locked deframer, or frames straddling the lock call are lost
+    (advisor finding r2, ccsds.py:230)."""
+    from sdrtpu.decoders.ccsds import deframe_qpsk_symbols
+
+    enc = CcsdsEncoder()
+    cvs = [RNG.integers(0, 256, CVCDU_BYTES).astype(np.uint8)
+           for _ in range(4)]
+    soft = enc.encode(cvs)
+    syms = (soft[0::2] + 1j * soft[1::2]).astype(np.complex64)
+    frames, dec = [], None
+    for i in range(0, len(syms), 3000):
+        f, dec = deframe_qpsk_symbols(syms[i:i + 3000], dec)
+        frames += f
+    assert len(frames) == 4, len(frames)
+    for got, want in zip(frames, cvs):
+        np.testing.assert_array_equal(got, want)
+    assert dec.rs_errors == [0, 0, 0, 0]

@@ -75,3 +75,25 @@ def test_client_session():
     assert (101, 98500000) in srv.settings  # IQ frequency
     assert (1, 1) in srv.settings  # streaming enabled
     cli.close()
+
+
+def test_digital_gain_scaling_matches_reference():
+    """The reference DIVIDES integer formats by the reported digital
+    gain (spyserver_client.cpp:136-151) but MULTIPLIES the float format
+    by it (spyserver_client.cpp:156-160) — pin both (advisor r2)."""
+    import threading as _t
+    from sdrtpu.io.spyserver import MSG_FLOAT_IQ, MSG_UINT8_IQ
+
+    cli = SpyServerClient.__new__(SpyServerClient)
+    cli._cv = _t.Condition()
+    cli._chunks = []
+    cli._info_event = _t.Event()
+
+    mflags = 20  # gain = 10^(20/20) = 10x
+    cli._handle(MSG_INT16_IQ, np.int16([16384, 0]).tobytes(), mflags)
+    cli._handle(MSG_UINT8_IQ, np.uint8([192, 128]).tobytes(), mflags)
+    cli._handle(MSG_FLOAT_IQ, np.float32([0.25, 0.0]).tobytes(), mflags)
+    i16, u8, f32 = cli._chunks
+    assert abs(i16[0].real - 0.5 / 10.0) < 1e-6
+    assert abs(u8[0].real - 0.5 / 10.0) < 1e-6
+    assert abs(f32[0].real - 0.25 * 10.0) < 1e-6
