@@ -99,13 +99,35 @@ def main():
     jax.block_until_ready(jax.tree_util.tree_leaves(rstate)[0])
     log(f"warmup compile: {time.time()-t0:.1f}s")
 
-    @jax.jit
-    def multi(rstate):
-        def body(rst, _):
-            rst, out = single(rst, re, im)
-            return rst, out
+    # "batched" (default): the steady-state execution mode — the
+    # channelizer front end scans per block, the IF-rate back end
+    # (demod/audio/deemphasis/waterfall FFT) runs ONCE on the
+    # concatenated K-block window (`WbfmMultiVfoPipeline.scan_call`
+    # semantics).  "scanned" keeps the round-2 whole-pipeline-per-block
+    # scan for A/B comparison.
+    mode = os.environ.get("SDRTPU_BENCH_MODE", "batched")
+    log(f"dispatch mode: {mode}")
 
-        return jax.lax.scan(body, rstate, None, length=K)
+    if mode == "batched":
+
+        @jax.jit
+        def multi(rstate):
+            st, out = pipe.scan_repeat(
+                complexify(rstate), jax.lax.complex(re, im), K
+            )
+            audio = out[0] if spectrum else out  # (K, 2, C, n_af)
+            wf = jnp.max(out[1]) if spectrum else jnp.float32(0)
+            return realify(st), (audio, wf)
+
+    else:
+
+        @jax.jit
+        def multi(rstate):
+            def body(rst, _):
+                rst, out = single(rst, re, im)
+                return rst, out
+
+            return jax.lax.scan(body, rstate, None, length=K)
 
     t0 = time.time()
     rstate, (audio, wf) = multi(rstate)
@@ -163,7 +185,9 @@ def main():
         try:
             from sdrtpu.roofline import profile_flagship
 
-            prof = profile_flagship(pipe, x)
+            prof = profile_flagship(
+                pipe, x, measured_s_per_block=block_len / best
+            )
             for name, s in prof["stages"].items():
                 log(f"  roofline {name}: {s['ms_per_block']} ms/blk, "
                     f"{s['gflop_per_s']} GFLOP/s (mfu {s['mfu']:.1%}), "

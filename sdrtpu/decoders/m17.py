@@ -11,8 +11,12 @@ Implements the M17 protocol's bit layer per the public M17 specification:
 - LSF path: depuncture P1 -> rate-1/2 K=5 Viterbi (polys 0o31, 0o27) ->
   240-bit link setup frame -> base-40 callsigns + CRC16,
 - stream path: LICH (4 x Golay(24,12)) reassembly + payload depuncture P2
-  -> Viterbi -> frame number + 128 voice bits (Codec2 vocoding is out of
-  scope; voice bits are exposed raw).
+  -> Viterbi -> frame number + 128 voice bits,
+- voice synthesis: `M17Vocoder` feeds the 2x 8-byte codec2 3200 frames
+  per stream frame through the system libcodec2 binding
+  (`decoders/codec2.py`) — the same library the reference links
+  (``m17_decoder/CMakeLists.txt:27``, decode at ``m17dsp.h:509-510``) —
+  with the reference's consecutive-frame-number squelch.
 
 The Viterbi/Golay engines are sdrtpu's own (``fec/``).
 """
@@ -189,6 +193,18 @@ class M17FrameDecoder:
         self.stream_frames.append((fn, voice))
         return fn, voice
 
+    def lsf_from_lich(self) -> dict | None:
+        """Reassemble the LSF from collected LICH chunks (mid-stream join).
+
+        Each stream frame carries 40 of the LSF's 240 bits plus a chunk
+        index; once all six chunks have been seen the full link setup
+        frame parses exactly like the dedicated LSF frame.
+        """
+        if any(c is None for c in self.lich_chunks):
+            return None
+        bits = np.concatenate(self.lich_chunks)
+        return self._parse_lsf(bits)
+
 
 # -- encode path (tests / tx) ----------------------------------------------
 
@@ -197,14 +213,24 @@ def _interleave_randomize(bits: np.ndarray) -> np.ndarray:
     return out ^ SCRAMBLER
 
 
-def encode_lsf_frame(dst: str, src: str, type_field: int = 0x0005) -> np.ndarray:
+def lsf_content_bits(dst: str, src: str, type_field: int = 0x0005) -> np.ndarray:
+    """240-bit link-setup-frame content (callsigns, type, CRC16).
+
+    Also the payload carried 40 bits at a time in the stream frames'
+    LICH chunks, letting receivers that missed the LSF frame recover the
+    link info mid-stream (M17 spec; the reference decodes LICH-borne LSF
+    in ``m17dsp.h``'s LICH path)."""
     by = bytearray(30)
     by[0:6] = encode_callsign(dst).to_bytes(6, "big")
     by[6:12] = encode_callsign(src).to_bytes(6, "big")
     by[12:14] = type_field.to_bytes(2, "big")
     crc = _crc16(bytes(by[:28]))
     by[28:30] = crc.to_bytes(2, "big")
-    lsf_bits = np.unpackbits(np.frombuffer(bytes(by), np.uint8))[:LSF_BITS]
+    return np.unpackbits(np.frombuffer(bytes(by), np.uint8))[:LSF_BITS]
+
+
+def encode_lsf_frame(dst: str, src: str, type_field: int = 0x0005) -> np.ndarray:
+    lsf_bits = lsf_content_bits(dst, src, type_field)
     enc = ConvEncoder(5, M17_POLYS)
     # terminated encoding: encoder state flushed by 4 trailing zeros
     coded = enc.encode(np.concatenate([lsf_bits, np.zeros(4, np.uint8)]))[
@@ -288,3 +314,61 @@ class M17BitSync:
             i += 16 + FRAME_BITS
         del buf[:i]
         return results
+
+
+class M17Vocoder:
+    """Stream-frame voice bits -> audio PCM via the system codec2.
+
+    Mirrors ``M17Codec2Decode`` (``m17dsp.h:429-525``): each 128-bit
+    stream payload is two 8-byte codec2 3200 frames decoded to 2x160
+    samples at 8 kHz; output only while frame numbers run consecutively
+    (the reference additionally times out on wall clock — meaningless in
+    offline processing, so here non-consecutive input just re-arms).
+    Construction raises if libcodec2 is absent; gate on
+    `M17Vocoder.available()`.
+    """
+
+    SAMPLERATE = 8000.0
+
+    def __init__(self):
+        from .codec2 import MODE_3200, Codec2
+
+        self.codec = Codec2(MODE_3200)
+        self.last_fn: int | None = None
+
+    @staticmethod
+    def available() -> bool:
+        from .codec2 import Codec2
+
+        return Codec2.available()
+
+    def vocode(self, frames) -> np.ndarray:
+        """[(fn, voice_bits(128,)), ...] -> float32 mono PCM @ 8 kHz.
+
+        First frame of a transmission always plays (the reference arms on
+        the first consecutive pair; offline we cannot wait for the next
+        frame before emitting this one, and dropping it would lose 40 ms
+        of speech per over).
+        """
+        out = []
+        for fn, bits in frames:
+            fn = int(fn)
+            consecutive = (
+                self.last_fn is None
+                or ((fn - self.last_fn) % 0x8000) == 1
+            )
+            self.last_fn = fn & 0x7FFF  # bit 15 = end-of-stream marker
+            if not consecutive:
+                continue
+            by = np.packbits(np.asarray(bits, np.uint8)).tobytes()  # 16 B
+            pcm = self.codec.decode(by)  # 2 frames -> 320 samples
+            out.append(pcm.astype(np.float32) / 32768.0)
+        if not out:
+            return np.zeros(0, np.float32)
+        return np.concatenate(out)
+
+    def vocode_stereo(self, frames) -> np.ndarray:
+        """Like `vocode` but duplicated to (2, n) stereo — the reference
+        interleaves the mono signal into both channels (m17dsp.h:517)."""
+        mono = self.vocode(frames)
+        return np.stack([mono, mono])

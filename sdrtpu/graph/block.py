@@ -43,6 +43,22 @@ class StreamOp:
     def __call__(self, state: PyTree, x):  # pragma: no cover - interface
         raise NotImplementedError
 
+    def scan_call(self, state: PyTree, xs):
+        """Process K stacked blocks ``xs: (K, ..., n)`` in one compiled call.
+
+        Default: ``lax.scan`` of `__call__` — semantically the framework's
+        steady-state execution mode (one fused program scanned over time
+        blocks).  Ops whose per-block work is tiny (IF/audio-rate stages)
+        override this with a batched formulation that processes the
+        concatenated window in one pass: for a streaming op,
+        ``process(concat(blocks))`` equals sequential per-block processing
+        by construction, and the batched form amortizes per-op dispatch
+        overhead K-fold on TPU.
+        """
+        import jax
+
+        return jax.lax.scan(lambda st, xb: self(st, xb), state, xs)
+
 
 class Chain(StreamOp):
     """Sequential composition of stream ops.

@@ -113,10 +113,19 @@ class SpectrumAnalyzer(StreamOp):
         )
         return n // self.interval
 
-    def __call__(self, state, x):
+    def extract(self, x):
+        """Keep/skip framing only: block -> (frames, nz_size) raw segments.
+
+        Split out from `transform` so a batched caller (the flagship's
+        `scan_call`) can collect cheap slices per block inside a scan and
+        run ONE windowed FFT over every frame of the dispatch window.
+        """
         n = x.shape[-1]
-        frames = x.reshape(n // self.interval, self.interval)[:, : self.nz_size]
-        frames = frames * jnp.asarray(self.window)
+        return x.reshape(n // self.interval, self.interval)[:, : self.nz_size]
+
+    def transform(self, segments):
+        """(frames, nz_size) raw segments -> (frames, fft_size) dB."""
+        frames = segments * jnp.asarray(self.window)
         if self.nz_size < self.fft_size:
             frames = jnp.pad(frames, ((0, 0), (0, self.fft_size - self.nz_size)))
         if self.fft_size >= 16384 and frames.shape[0] <= 8:
@@ -127,4 +136,7 @@ class SpectrumAnalyzer(StreamOp):
             spec = jnp.fft.fftshift(spec, axes=-1)
         power = spec.real**2 + spec.imag**2
         db = 10.0 * jnp.log10(power / np.float32(self.fft_size**2) + 1e-20)
-        return state, db.astype(jnp.float32)
+        return db.astype(jnp.float32)
+
+    def __call__(self, state, x):
+        return state, self.transform(self.extract(x))

@@ -164,15 +164,41 @@ def _next_fft_len(n: int) -> int:
     return m
 
 
+def _plan_corr_nfft(L: int, T: int) -> int:
+    """FFT size for overlap-save correlation: minimize modeled FFT work.
+
+    A single whole-signal FFT is pathological for long inputs (a 3.2M
+    row pads to a 4M-point transform whose intermediates alone are
+    ~270 MB/channel); chunked overlap-save with a bounded nfft costs
+    ~ceil(span/(nfft-T+1)) * nfft * log2(nfft) and is minimized by a
+    moderate power of two.  Model evaluated on host per (L, T) pair.
+    """
+    span = L - T + 1
+    best = None
+    nfft = _next_fft_len(2 * T)
+    while True:
+        valid = nfft - T + 1
+        cost = -(-span // valid) * nfft * np.log2(nfft)
+        if best is None or cost < best[0]:
+            best = (cost, nfft)
+        if nfft >= L + T - 1 or nfft >= (1 << 20):
+            break
+        nfft *= 2
+    return best[1]
+
+
 def fft_correlate_valid(x: jax.Array, taps) -> jax.Array:
     """`correlate_valid` (stride 1) via FFT overlap-save.
 
     Same semantics as the shift-and-add path —
-    ``out[..., i] = sum_t x[..., i + t] * taps[t]`` — but computed as one
-    circular convolution per block: for long filters (e.g. the WFM pilot
+    ``out[..., i] = sum_t x[..., i + t] * taps[t]`` — but computed as
+    batched circular convolutions: for long filters (e.g. the WFM pilot
     bandpass, ~316 complex taps) the shift-and-add unroll costs O(n*T)
     VPU work and dominates the whole demod chain; the FFT form is
-    O(n log n) and ~10x faster on TPU at T >= ~128.
+    O(n log nfft) and ~10x faster on TPU at T >= ~128.  Long inputs are
+    split into overlap-save chunks of a cost-modeled bounded FFT size
+    (`_plan_corr_nfft`) — one whole-signal FFT both wastes flops
+    (log factor) and materializes huge intermediates.
 
     Correlation = convolution with reversed taps, so out = IFFT(FFT(x_pad)
     * FFT(reverse(taps)))[T-1 : T-1+span].  The tap spectrum is
@@ -182,7 +208,36 @@ def fft_correlate_valid(x: jax.Array, taps) -> jax.Array:
     L = int(x.shape[-1])
     T = int(taps.shape[0])
     span = L - T + 1
-    nfft = _next_fft_len(L + T - 1)
+    nfft = _plan_corr_nfft(L, T)
+    if nfft < L + T - 1:
+        # chunked overlap-save: chunk p covers x[p*valid : p*valid+nfft];
+        # build the (P, nfft) chunk matrix from Q row-shifted reshape
+        # views (NOT P slices — same trick as the FFT channelizer)
+        valid = nfft - T + 1
+        P = -(-span // valid)
+        Q = -(-nfft // valid)
+        rows_n = P + Q - 1
+        lead = x.shape[:-1]
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, rows_n * valid - L)]
+        rows = jnp.pad(x, pad).reshape(lead + (rows_n, valid))
+        chunks = jnp.concatenate(
+            [
+                jax.lax.dynamic_slice_in_dim(rows, q, P, axis=-2)
+                for q in range(Q)
+            ],
+            axis=-1,
+        )[..., :nfft]  # (..., P, nfft)
+        y = _fft_corr_padded(chunks, taps, nfft)  # (..., P, valid)
+        return y.reshape(lead + (P * valid,))[..., :span]
+    return _fft_corr_padded(x, taps, nfft)
+
+
+def _fft_corr_padded(x: jax.Array, taps: np.ndarray, nfft: int) -> jax.Array:
+    """Core circular-correlation: pad last axis to ``nfft``, return the
+    ``L - T + 1`` valid outputs (L = input length before padding)."""
+    L = int(x.shape[-1])
+    T = int(taps.shape[0])
+    span = L - T + 1
     hf = np.fft.fft(taps[::-1].astype(np.complex128), nfft)
     complex_in = jnp.iscomplexobj(x)
     complex_out = complex_in or np.iscomplexobj(taps)
