@@ -394,12 +394,14 @@ class Receiver:
 
         @jax.jit
         def _step_scan(rstate, re, im):  # re/im: (K, block_len)
-            def body(rst, xs):
-                state = complexify(rst)
-                state, (audios, spec) = frontend(state, jax.lax.complex(xs[0], xs[1]))
-                return realify(state), (audios, spec)
-
-            return jax.lax.scan(body, rstate, jnp.stack([re, im], axis=1))
+            # `scan_call` is the steady-state batch entry: the default is
+            # lax.scan of the step, and ops with a batched formulation
+            # (e.g. the flagship pipeline) override it (graph/block.py)
+            state = complexify(rstate)
+            state, (audios, spec) = frontend.scan_call(
+                state, jax.lax.complex(re, im)
+            )
+            return realify(state), (audios, spec)
 
         self._step = _step
         self._step_scan = _step_scan

@@ -181,6 +181,30 @@ class WbfmMultiVfoPipeline(StreamOp):
             return st, (a, spec)
         return st, a
 
+    def _batched(self, state, x_cat, K: int):
+        """One straight-line program over the concatenated K-block window.
+
+        The overlap-save channelizer handles any multiple of block_len
+        directly (its only sequential carry is the input tail; the
+        residual rotator's per-block phase recurrence unrolls in closed
+        form — `MultiVfoMixer.rotate_blocks`), so the ENTIRE dispatch is
+        scan-free: no per-iteration output stacking (measured ~0.05
+        ms/block of pure dynamic-update-slice traffic on v5e), no
+        (K, C, n_if) -> (C, K*n_if) transpose.
+        """
+        st = dict(state)
+        st["chan"], y = self.channelizer(state["chan"], x_cat)  # (C, K*nif)
+        st["demod"], (stereo, _) = self.demod(state["demod"], y)
+        st["audio"], a = self.audio_resamp(state["audio"], stereo)
+        st["deemph"], a = self.deemph(state["deemph"], a)  # (2, C, K*n_af)
+        a = a.reshape(a.shape[0], a.shape[1], K, -1)
+        a = jnp.moveaxis(a, 2, 0)  # (K, 2, C, n_af) — per-block framing
+        if self.spectrum is not None:
+            segs = self.spectrum.extract(x_cat)  # (K*F, nz)
+            spec = self.spectrum.transform(segs)
+            return st, (a, spec.reshape(K, -1, spec.shape[-1]))
+        return st, a
+
     def scan_call(self, state, xs):
         """K stacked wideband blocks ``(K, block_len)`` -> K blocks of output.
 
@@ -189,6 +213,8 @@ class WbfmMultiVfoPipeline(StreamOp):
         ``(K, 2, C, n_af)`` and spectra as ``(K, frames, fft_size)``.
         """
         K = xs.shape[0]
+        if self.channelizer.method == "fft":
+            return self._batched(state, xs.reshape(-1), K)
         chan_state, (ys, segs) = jax.lax.scan(
             self._front_body, state["chan"], xs
         )
@@ -196,9 +222,13 @@ class WbfmMultiVfoPipeline(StreamOp):
 
     def scan_repeat(self, state, x, K: int):
         """Like `scan_call` but re-processing ONE device-resident block K
-        times (benchmark steady state: a NIC-fed ring buffer's working set,
-        without fabricating a K-stacked input whose HBM re-read no real
-        ingest pays)."""
+        times (benchmark steady state: a NIC-fed ring buffer's working
+        set)."""
+        if self.channelizer.method == "fft":
+            x_cat = jnp.broadcast_to(
+                x[None, :], (K, x.shape[-1])
+            ).reshape(-1)
+            return self._batched(state, x_cat, K)
         chan_state, (ys, segs) = jax.lax.scan(
             lambda cst, _: self._front_body(cst, x), state["chan"], None,
             length=K,

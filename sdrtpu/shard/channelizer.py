@@ -117,6 +117,45 @@ class MultiVfoMixer(StreamOp):
         )
         return {**state, "phase": new_phase}, y
 
+    def rotate_blocks(self, state, y, K: int):
+        """Rotate K consecutive blocks ``y: (C, K*block_len)`` in ONE pass.
+
+        The per-block recurrence ``phase += delta`` unrolls in closed form:
+        block j starts at phase + j*delta (mod 2pi), so the whole window
+        rotates with a broadcast — no scan.  j*delta is accumulated
+        hierarchically (j = q*Q + r) so float32 stays within ~1e-5 rad of
+        the sequential mod chain even at K = 256.
+        """
+        n = y.shape[-1]
+        assert n == K * self.block_len, (n, K, self.block_len)
+        coarse = jnp.asarray(state["coarse"])
+        fine = jnp.asarray(state["fine"])
+        phase = jnp.asarray(state["phase"])  # (C,)
+        delta = jnp.asarray(state["delta"])  # (C,)
+        C = coarse.shape[0]
+        angles = (coarse[:, :, None] + fine[:, None, :]).reshape(C, -1)[
+            :, : self.block_len
+        ]
+        Q = max(1, int(np.sqrt(K)))
+        deltaQ = jnp.mod(delta * np.float32(Q), np.float32(_TWO_PI))
+        q = jnp.arange(-(-K // Q), dtype=jnp.float32)
+        r = jnp.arange(Q, dtype=jnp.float32)
+        # phases[c, j] for j = q*Q + r, trimmed to K
+        ph = jnp.mod(
+            phase[:, None, None]
+            + deltaQ[:, None, None] * q[None, :, None]
+            + delta[:, None, None] * r[None, None, :],
+            np.float32(_TWO_PI),
+        ).reshape(C, -1)[:, :K]
+        ang = angles[:, None, :] + ph[:, :, None]  # (C, K, n_blk)
+        rot = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+        out = (y.reshape(C, K, self.block_len) * rot).reshape(C, n)
+        # carry phase past block K-1 (hierarchical value + one delta, so
+        # the dispatch-to-dispatch carry keeps the same f32 error class
+        # as the sequential per-block chain)
+        new_phase = jnp.mod(ph[:, K - 1] + delta, np.float32(_TWO_PI))
+        return {**state, "phase": new_phase}, out
+
 
 class ModulatedDecimatorChain(StreamOp):
     """Fused mix + multistage decimation in pure XLA (modulated taps).
@@ -486,7 +525,8 @@ class FftDecimatorChain(StreamOp):
 
     def __call__(self, state, x):
         n = x.shape[-1]
-        assert n == self.block_len, (n, self.block_len)
+        assert n % self.block_len == 0, (n, self.block_len)
+        K = n // self.block_len
         assert x.ndim == 1, "FFT channelizer front takes the shared wideband"
         x = x.astype(jnp.complex64)
         ext = jnp.concatenate([jnp.asarray(state["tail"]), x])
@@ -495,7 +535,11 @@ class FftDecimatorChain(StreamOp):
         # cost ~30% of the whole op): reshape to rows of `valid` and
         # concatenate Q row-shifted views, so chunk p = ext[p*valid :
         # p*valid+nfft] comes from Q unit-stride slices total.
-        P, V, F = self.n_chunks, self.valid, self.nfft
+        # The same plan serves any multiple of block_len — the batched
+        # steady-state path (`WbfmMultiVfoPipeline.scan_call`) feeds K
+        # blocks as ONE window and P simply scales, keeping the state
+        # pytree (tail/hf/rot tables) identical to the per-block program.
+        P, V, F = K * self.n_chunks, self.valid, self.nfft
         Q = -(-F // V)  # rows spanned by one chunk
         rows_n = P + Q - 1
         xp = jnp.pad(ext, (0, rows_n * V - ext.shape[-1]))
@@ -505,7 +549,7 @@ class FftDecimatorChain(StreamOp):
             axis=-1,
         )[:, :F]  # (P, nfft)
         X = jnp.fft.fft(chunks)
-        Xr = X.reshape(self.n_chunks, self.ratio, self.nif)
+        Xr = X.reshape(P, self.ratio, self.nif)
         hf = jnp.asarray(state["hf"])
         if self._sparse:
             # gather each channel's live alias rows, multiply-reduce over
@@ -520,7 +564,10 @@ class FftDecimatorChain(StreamOp):
         m0 = (self.tpad - 1) // self.ratio
         y = y[:, :, m0 : m0 + self.valid // self.ratio]
         y = y.reshape(y.shape[0], n // self.ratio)
-        st_rot, y = self.rot(state["rot"], y)
+        if K == 1:
+            st_rot, y = self.rot(state["rot"], y)
+        else:
+            st_rot, y = self.rot.rotate_blocks(state["rot"], y, K)
         new_state = {"tail": new_tail, "hf": state["hf"], "rot": st_rot}
         if self._sparse:
             new_state["fold_idx"] = state["fold_idx"]
