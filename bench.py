@@ -49,6 +49,14 @@ def main():
     n_vfo = int(os.environ.get("SDRTPU_BENCH_NVFO", 8))
     m = WbfmMultiVfoPipeline.block_multiple(fs_in)
     block_len = (max(500_000, int(fs_in / 20)) // m) * m
+    # Optional block-size override (e.g. 4_000_000): bigger blocks let the
+    # fold-aware chunk planner pick longer overlap-save chunks (less
+    # redundant FFT work) at the cost of latency — the latency/throughput
+    # trade documented in docs/PERF.md.
+    if os.environ.get("SDRTPU_BENCH_BLOCK"):
+        want = int(float(os.environ["SDRTPU_BENCH_BLOCK"]))
+        lcm = m * round(fs_in / 20.0) // np.gcd(m, round(fs_in / 20.0))
+        block_len = max(1, round(want / lcm)) * lcm
     # blocks per dispatch (steady-state scan; amortizes tunnel dispatch)
     K = int(os.environ.get("SDRTPU_BENCH_K", 256))
 

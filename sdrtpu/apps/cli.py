@@ -47,6 +47,12 @@ def main(argv=None) -> int:
                     help="extra VFO as NAME:OFFSET:MODE[:BANDWIDTH]")
     ap.add_argument("--no-spectrum", action="store_true")
     ap.add_argument("--block-len", type=int, default=None)
+    ap.add_argument("--low-latency", action="store_true",
+                    help="small-block operating point: ~5 ms blocks "
+                         "(samplerate/200, the reference's source block "
+                         "convention) instead of the throughput-tuned "
+                         "default — see docs/PERF.md for the measured "
+                         "latency/throughput trade")
     ap.add_argument("--fft-size", type=int, default=65536)
     ap.add_argument("--fft-rate", type=float, default=20.0)
     ap.add_argument("--spectrum-out", default=None,
@@ -90,11 +96,16 @@ def main(argv=None) -> int:
         fft_rate=args.fft_rate,
     )
 
+    block_len = args.block_len
+    if args.low_latency and block_len is None:
+        m = fe.block_multiple()
+        block_len = max(1, round(info.samplerate / 200.0 / m)) * m
+
     audio_bufs = {n: [] for n in vfos}
     spec_frames = []
     rx = Receiver(
         fe,
-        block_len=args.block_len,
+        block_len=block_len,
         audio_sinks={n: audio_bufs[n].append for n in vfos},
         spectrum_sink=(spec_frames.append if not args.no_spectrum else None),
     )

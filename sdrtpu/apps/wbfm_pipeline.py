@@ -17,6 +17,8 @@ deemphasis (``radio_module.h:98-110``).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -205,6 +207,38 @@ class WbfmMultiVfoPipeline(StreamOp):
             return st, (a, spec.reshape(K, -1, spec.shape[-1]))
         return st, a
 
+    # Sub-window length for the batched steady-state path, in SAMPLES.
+    # Measured on v5e (8-VFO flagship, 500k blocks, sweep of the
+    # sub-window size): per-block throughput peaks at ~4M-sample windows
+    # (3870 Msps at 8 blocks/window) and DEGRADES beyond (2602 at 16,
+    # 736 at 32 — large FFT batches / >100 MB intermediates fall off the
+    # backend's fast path), while a per-block scan pays ~0.05 ms/block
+    # stacking the IF output (2800 at 1).  A scan over ~4M-sample fully
+    # batched sub-windows gets both amortization and the fast regime.
+    SUB_SAMPLES = float(os.environ.get("SDRTPU_SUB_SAMPLES", 4e6))
+
+    def _subk(self, K: int) -> int:
+        env = os.environ.get("SDRTPU_SUBK")
+        want = (int(env) if env
+                else max(1, round(self.SUB_SAMPLES / self.block_len)))
+        sub = min(K, max(1, want))
+        while K % sub:
+            sub -= 1
+        return sub
+
+    @staticmethod
+    def _stabilize(state, body, xw0):
+        """Broadcast not-yet-steady state leaves (scalar IIR carries on a
+        fresh stream) to the shapes the scan body produces, so the carry
+        typechecks without requiring a warmup call first."""
+        out_sd = jax.eval_shape(body, state, xw0)[0]
+        return jax.tree_util.tree_map(
+            lambda leaf, sd: jnp.broadcast_to(
+                jnp.asarray(leaf), sd.shape
+            ).astype(sd.dtype),
+            state, out_sd,
+        )
+
     def scan_call(self, state, xs):
         """K stacked wideband blocks ``(K, block_len)`` -> K blocks of output.
 
@@ -213,24 +247,48 @@ class WbfmMultiVfoPipeline(StreamOp):
         ``(K, 2, C, n_af)`` and spectra as ``(K, frames, fft_size)``.
         """
         K = xs.shape[0]
-        if self.channelizer.method == "fft":
+        if self.channelizer.method != "fft":
+            chan_state, (ys, segs) = jax.lax.scan(
+                self._front_body, state["chan"], xs
+            )
+            return self._back_batch(state, chan_state, ys, segs, K)
+        sub = self._subk(K)
+        if sub == K:
             return self._batched(state, xs.reshape(-1), K)
-        chan_state, (ys, segs) = jax.lax.scan(
-            self._front_body, state["chan"], xs
+        xw = xs.reshape(K // sub, sub * xs.shape[-1])
+
+        def body(st, xsub):
+            st, out = self._batched(st, xsub, sub)
+            return st, out
+
+        state = self._stabilize(state, body, xw[0])
+        st, outs = jax.lax.scan(body, state, xw)
+        return st, jax.tree_util.tree_map(
+            lambda a: a.reshape((K,) + a.shape[2:]), outs
         )
-        return self._back_batch(state, chan_state, ys, segs, K)
 
     def scan_repeat(self, state, x, K: int):
         """Like `scan_call` but re-processing ONE device-resident block K
         times (benchmark steady state: a NIC-fed ring buffer's working
         set)."""
-        if self.channelizer.method == "fft":
-            x_cat = jnp.broadcast_to(
-                x[None, :], (K, x.shape[-1])
-            ).reshape(-1)
-            return self._batched(state, x_cat, K)
-        chan_state, (ys, segs) = jax.lax.scan(
-            lambda cst, _: self._front_body(cst, x), state["chan"], None,
-            length=K,
+        n = x.shape[-1]
+        if self.channelizer.method != "fft":
+            chan_state, (ys, segs) = jax.lax.scan(
+                lambda cst, _: self._front_body(cst, x), state["chan"],
+                None, length=K,
+            )
+            return self._back_batch(state, chan_state, ys, segs, K)
+        sub = self._subk(K)
+        x_sub = jnp.broadcast_to(x[None, :], (sub, n)).reshape(-1)
+        if sub == K:
+            return self._batched(state, x_sub, K)
+
+        def body(st, _):
+            st, out = self._batched(st, x_sub, sub)
+            return st, out
+
+        state = self._stabilize(state, lambda s, xv: body(s, None), None)
+        st, outs = jax.lax.scan(body, state, None, length=K // sub)
+        return st, jax.tree_util.tree_map(
+            lambda a: a.reshape((K,) + a.shape[2:]), outs
         )
-        return self._back_batch(state, chan_state, ys, segs, K)

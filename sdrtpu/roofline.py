@@ -153,6 +153,34 @@ def slope_time(step, state0, k1: int = 8, k2: int = 96, reps: int = 3) -> float:
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
+def measure_hbm_peak(nbytes: int = 1 << 28) -> float:
+    """Achievable HBM streaming bandwidth (GB/s), measured.
+
+    Times ``y = x * c + salt`` (one read + one write per element) on a
+    large float32 array with the slope method.  This grounds the
+    roofline's %-of-peak claims in a measurement on THIS chip/runtime
+    instead of the 819 GB/s paper figure: stages are memory-bound, so
+    the relevant ceiling is what a pure streaming kernel actually
+    achieves here (the dev-tunnel runtime and real DRAM efficiency
+    included).
+    """
+    n = nbytes // 4
+    x = jnp.arange(n, dtype=jnp.float32)  # device-resident
+
+    def step(carry, salt):
+        # full-array reduction of a salt-dependent expression: one HBM
+        # read per element per iteration, nothing hoistable.  (A
+        # read+write version is not forceable through dataflow alone —
+        # XLA rightly fuses the write away — so the measured ceiling is
+        # STREAMING READ bandwidth, the binding resource for every
+        # memory-bound stage in the table.)
+        s = jnp.sum(x * (np.float32(1.0) + salt * np.float32(1e-30)))
+        return carry + s, s
+
+    t = slope_time(step, jnp.float32(0), k1=4, k2=16)
+    return n * 4 / t / 1e9
+
+
 def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
                      measured_s_per_block: float | None = None,
                      batch_k: int = 32) -> dict:
@@ -290,10 +318,15 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
         m = spectrum_model(pipe.spectrum, block_len)
         total_flops += m[0]
         total_bytes += m[1]
+    try:
+        measured_gbps = round(measure_hbm_peak(), 1)
+    except Exception:  # pragma: no cover - measurement must not kill bench
+        measured_gbps = None
     return {
         "hardware": peaks["name"],
         "peak_f32_tflops": round(peaks["flops_f32"] / 1e12, 1),
         "peak_hbm_gbps": peaks["hbm_gbps"],
+        "measured_stream_read_gbps": measured_gbps,
         "pipeline_ms_per_block": round(total_t * 1e3, 4),
         "pipeline_time_source": (
             "measured_end_to_end" if measured_s_per_block else "stage_sum"
