@@ -65,8 +65,11 @@ def main():
     # spectrum=True: the waterfall FFT branch (65536 bins @ 20 Hz) runs
     # beside the VFOs, as the reference front end always does.
     spectrum = block_len % round(fs_in / 20.0) == 0
+    sparse_db = os.environ.get("SDRTPU_SPARSE_DB")
     pipe = WbfmMultiVfoPipeline(offsets, fs_in, block_len,
                                 channelizer_method=method,
+                                sparse_fold_db=(float(sparse_db)
+                                                if sparse_db else None),
                                 spectrum=spectrum)
     log(f"channelizer method: {pipe.channelizer.method}")
     log(f"devices: {jax.devices()}")

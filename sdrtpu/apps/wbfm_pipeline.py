@@ -48,6 +48,7 @@ class WbfmMultiVfoPipeline(StreamOp):
         stereo: bool = True,
         tau: float = 50e-6,
         channelizer_method: str = "auto",
+        sparse_fold_db: float | None = None,
         spectrum: bool = False,
         fft_size: int = 65536,
         fft_rate: float = 20.0,
@@ -59,9 +60,13 @@ class WbfmMultiVfoPipeline(StreamOp):
         # folded into the first decimation stage).  The Pallas kernel path
         # remains opt-in via channelizer_method="pallas" until its in-scan
         # stability on the TPU runtime is fully validated.
+        # sparse_fold_db: opt-in sparse alias fold (see FftDecimatorChain)
+        # — the dense fold's FLOPs scale with C*nfft and dominate at many
+        # channels, while only the few alias rows crossing each channel's
+        # passband carry energy.  Measured slower at C=8, faster at C=64.
         self.channelizer = Channelizer(
             self.offsets, in_samplerate, if_rate, block_len,
-            method=channelizer_method,
+            method=channelizer_method, sparse_thresh_db=sparse_fold_db,
         )
         # The 15 kHz audio lowpass (`BroadcastFm(low_pass=True)`'s two
         # 237-tap FIRs, ~0.06 ms/block) is folded into the audio

@@ -174,6 +174,11 @@ def _plan_corr_nfft(L: int, T: int) -> int:
     moderate power of two.  Model evaluated on host per (L, T) pair.
     """
     span = L - T + 1
+    # short signals: one FFT — the chunk model below counts only n*log(n)
+    # work, but at these sizes per-op overheads dominate and the single
+    # transform wins (and keeps the pre-round-3 plan for per-block paths)
+    if L + T - 1 <= 32768:
+        return _next_fft_len(L + T - 1)
     best = None
     nfft = _next_fft_len(2 * T)
     while True:

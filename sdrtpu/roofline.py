@@ -320,7 +320,10 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
         total_bytes += m[1]
     try:
         measured_gbps = round(measure_hbm_peak(), 1)
-    except Exception:  # pragma: no cover - measurement must not kill bench
+    except Exception as e:  # pragma: no cover - must not kill the bench
+        import sys
+
+        print(f"measure_hbm_peak failed: {e!r}", file=sys.stderr)
         measured_gbps = None
     return {
         "hardware": peaks["name"],

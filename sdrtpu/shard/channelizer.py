@@ -601,6 +601,7 @@ class Channelizer(StreamOp):
         block_len: int,
         low_pass_bw: float | None = None,
         method: str = "auto",
+        sparse_thresh_db: float | None = None,
     ):
         self.offsets = np.asarray(offsets_hz, np.float64)
         self.resampler = RationalResampler(in_samplerate, out_samplerate)
@@ -665,6 +666,8 @@ class Channelizer(StreamOp):
             self.mixer = None
         elif method in ("xla-fused", "fft"):
             cls = ModulatedDecimatorChain if method == "xla-fused" else FftDecimatorChain
+            kw = ({"sparse_thresh_db": sparse_thresh_db}
+                  if method == "fft" else {})
             self.fused = cls(
                 self.offsets,
                 in_samplerate,
@@ -673,6 +676,7 @@ class Channelizer(StreamOp):
                     for s in self.resampler.predecim.stages
                 ],
                 block_len,
+                **kw,
             )
             self.rest_stages = []
             self.mixer = None

@@ -102,3 +102,24 @@ def _flat(f, tree):
 
     leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
     return [(jax.tree_util.keystr(p), f(v)) for p, v in leaves]
+
+
+def test_flagship_scan_call_sparse_fold():
+    """Batched sub-window path with the sparse alias fold (-100 dB: every
+    energetic row kept, numerically the dense fold)."""
+    fs = 2_000_000.0
+    block = 20_000
+    K = 4
+    offs = np.linspace(-0.3, 0.3, 3) * fs
+    x = _wideband(fs, K * block, offs)
+    dense = WbfmMultiVfoPipeline(offs, fs, block, channelizer_method="fft")
+    sparse = WbfmMultiVfoPipeline(offs, fs, block, channelizer_method="fft",
+                                  sparse_fold_db=-100.0)
+    assert sparse.channelizer.fused._sparse
+    _, a1 = dense.scan_call(dense.init_state(),
+                            jnp.asarray(x.reshape(K, block)))
+    _, a2 = sparse.scan_call(sparse.init_state(),
+                             jnp.asarray(x.reshape(K, block)))
+    # skip the filter-fill transient blocks (angle() of ~0 samples)
+    np.testing.assert_allclose(np.asarray(a2)[2:], np.asarray(a1)[2:],
+                               atol=2e-4)
