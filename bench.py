@@ -61,6 +61,11 @@ def main():
     K = int(os.environ.get("SDRTPU_BENCH_K", 256))
 
     method = os.environ.get("SDRTPU_CHAN_METHOD", "auto")
+    if method == "pfb":
+        from sdrtpu.shard.pfb import PfbChannelizer
+
+        pm = PfbChannelizer.block_multiple_for(fs_in, 250000.0)
+        block_len = block_len * pm // int(np.gcd(block_len, pm))
     offsets = np.linspace(-0.4 * fs_in, 0.4 * fs_in, n_vfo)
     # spectrum=True: the waterfall FFT branch (65536 bins @ 20 Hz) runs
     # beside the VFOs, as the reference front end always does.

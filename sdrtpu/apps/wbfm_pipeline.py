@@ -252,7 +252,7 @@ class WbfmMultiVfoPipeline(StreamOp):
         ``(K, 2, C, n_af)`` and spectra as ``(K, frames, fft_size)``.
         """
         K = xs.shape[0]
-        if self.channelizer.method != "fft":
+        if self.channelizer.method not in ("fft", "pfb"):
             chan_state, (ys, segs) = jax.lax.scan(
                 self._front_body, state["chan"], xs
             )
@@ -277,7 +277,7 @@ class WbfmMultiVfoPipeline(StreamOp):
         times (benchmark steady state: a NIC-fed ring buffer's working
         set)."""
         n = x.shape[-1]
-        if self.channelizer.method != "fft":
+        if self.channelizer.method not in ("fft", "pfb"):
             chan_state, (ys, segs) = jax.lax.scan(
                 lambda cst, _: self._front_body(cst, x), state["chan"],
                 None, length=K,

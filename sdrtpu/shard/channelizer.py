@@ -590,7 +590,11 @@ class Channelizer(StreamOp):
     Parity: ``RxVFO`` (``rx_vfo.h:89-100``) per channel.
 
     ``method``: "auto" (fused Pallas on TPU backends), "pallas",
-    "pallas-interpret" (testing), or "xla".
+    "pallas-interpret" (testing), "xla", or "pfb" (shared M-bin
+    polyphase filter bank, `shard/pfb.py` — opt-in: its heavy stages
+    are channel-count independent, which starts to pay beyond ~100
+    simultaneous VFOs; below that the alias-fold FFT front measures
+    faster on v5e because the fold runs on the MXU).
     """
 
     def __init__(
@@ -651,8 +655,19 @@ class Channelizer(StreamOp):
         if method in ("xla-fused", "fft") and not has_predecim:
             method = "xla"
         self.method = method
+        # "complete" fused fronts produce the IF rate directly (no rest
+        # stages / generic polyphase tail to run afterwards)
+        self._fused_complete = method == "pfb"
 
-        if method in ("pallas", "pallas-interpret"):
+        if method == "pfb":
+            from .pfb import PfbChannelizer
+
+            self.fused = PfbChannelizer(
+                self.offsets, in_samplerate, out_samplerate, block_len
+            )
+            self.rest_stages = []
+            self.mixer = None
+        elif method in ("pallas", "pallas-interpret"):
             s0 = self.resampler.predecim.stages[0]
             self.fused = FusedChannelizerStage(
                 self.offsets,
@@ -707,7 +722,7 @@ class Channelizer(StreamOp):
             )
             st["poly"] = (
                 self.resampler.resamp.init_state()
-                if self.resampler.resamp
+                if self.resampler.resamp and not self._fused_complete
                 else ()
             )
         else:
@@ -733,7 +748,9 @@ class Channelizer(StreamOp):
         offsets = np.asarray(offsets_hz, np.float64)
         assert offsets.shape == self.offsets.shape
         st = dict(state)
-        if self.method in ("fft", "xla-fused"):
+        if self.method == "pfb":
+            st["fused"] = self.fused.retune_state(state["fused"], offsets)
+        elif self.method in ("fft", "xla-fused"):
             stages = [
                 (np.asarray(s.taps), s.decimation)
                 for s in self.resampler.predecim.stages
@@ -762,7 +779,7 @@ class Channelizer(StreamOp):
                 rst, y = s(rst, y)
                 new_rest.append(rst)
             st["rest"] = tuple(new_rest)
-            if self.resampler.resamp is not None:
+            if self.resampler.resamp is not None and not self._fused_complete:
                 st["poly"], y = self.resampler.resamp(state["poly"], y)
         else:
             st["mixer"], y = self.mixer(state["mixer"], x)  # (C, n)
