@@ -164,20 +164,47 @@ def measure_hbm_peak(nbytes: int = 1 << 28) -> float:
     achieves here (the dev-tunnel runtime and real DRAM efficiency
     included).
     """
+    import time as _time
+
     n = nbytes // 4
-    x = jnp.arange(n, dtype=jnp.float32)  # device-resident
+    # x must be a jit ARGUMENT: a closed-over concrete array is embedded
+    # as a literal in the compile payload, and a 256 MB constant blows
+    # the remote-compile tunnel's request-size limit (HTTP 413)
+    x = jax.device_put(np.arange(n, dtype=np.float32))
 
-    def step(carry, salt):
-        # full-array reduction of a salt-dependent expression: one HBM
-        # read per element per iteration, nothing hoistable.  (A
-        # read+write version is not forceable through dataflow alone —
-        # XLA rightly fuses the write away — so the measured ceiling is
-        # STREAMING READ bandwidth, the binding resource for every
-        # memory-bound stage in the table.)
-        s = jnp.sum(x * (np.float32(1.0) + salt * np.float32(1e-30)))
-        return carry + s, s
+    def make(k):
+        @jax.jit
+        def scan_k(x_):
+            def body(carry, _):
+                c, salt = carry
+                # full-array reduction of a salt-dependent expression:
+                # one HBM read per element per iteration, nothing
+                # hoistable.  (A read+write form is not forceable through
+                # dataflow — XLA rightly fuses the write away — so the
+                # ceiling measured is STREAMING READ bandwidth, the
+                # binding resource for every memory-bound stage here.)
+                s = jnp.sum(x_ * (np.float32(1.0) + salt * np.float32(1e-30)))
+                return (c + s, s * np.float32(1e-30)), ()
+            carry, _ = jax.lax.scan(
+                body, (jnp.float32(0), jnp.float32(0)), None, length=k
+            )
+            return carry
+        return scan_k
 
-    t = slope_time(step, jnp.float32(0), k1=4, k2=16)
+    def run(k):
+        f = make(k)
+        c, s = f(x)
+        float(c)
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            c, s = f(x)
+            float(c) + float(s)
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    t1, t2 = run(4), run(16)
+    t = max((t2 - t1) / 12.0, 1e-9)
     return n * 4 / t / 1e9
 
 
