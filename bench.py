@@ -125,6 +125,10 @@ def main():
     log(f"dispatch mode: {mode}")
 
     if mode == "batched":
+        # reduce the waterfall INSIDE the scan (like the scanned arm's
+        # per-block max): full (K, F, 65536) frame stacks are pure
+        # scan-output traffic a throughput probe never reads
+        pipe.spec_reduce = jnp.max
 
         @jax.jit
         def multi(rstate):

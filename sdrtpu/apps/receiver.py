@@ -374,8 +374,8 @@ class Receiver:
         # and save_checkpoint() may be called from another thread
         # (webview/rigctl/scheduler) while push() is framing + dispatching
         # — the reference serializes the same way with its ctrlMtx
-        # (``block.h:46-62``).  Re-entrant: push() holds it across
-        # _dispatch, which takes it again around the state update.
+        # (``block.h:46-62``).  Every dispatch path computes under the
+        # lock and emits to sinks after releasing it.
         self._state_lock = threading.RLock()
         # structured observability (SURVEY §5.5): input throughput +
         # real-time factor, per-sink audio level gauges
@@ -502,10 +502,15 @@ class Receiver:
         """
         if self._thr is not None:
             self._thr.add(len(iq))
+        restored = []
         with self._state_lock:
             self.framer.append(np.asarray(iq, np.complex64))
             if self.scan_batch <= 1 and self._pending:
-                self.drain()  # checkpoint-restored blocks precede new input
+                # checkpoint-restored blocks precede new input; compute
+                # under the lock, emit outside it
+                restored = self._drain_compute()
+        for payload in restored:
+            self._emit(*payload)
         while True:
             payload = None
             with self._state_lock:
@@ -529,12 +534,23 @@ class Receiver:
             if payload is not None:
                 self._emit(*payload)
 
+    def _drain_compute(self) -> list:
+        """Run compiled steps for all pending blocks (caller holds the
+        lock); returns the `_emit` payloads so sinks run OUTSIDE it."""
+        payloads = [self._compute(block) for block in self._pending]
+        self._pending = []
+        return payloads
+
     def drain(self) -> None:
-        """Dispatch any buffered whole blocks (before flush/shutdown)."""
+        """Dispatch any buffered whole blocks (before flush/shutdown).
+
+        Like every dispatch path, sink fan-out happens after the state
+        lock is released — a blocked sink must never hold up
+        retune/checkpoint (advisor finding r2)."""
         with self._state_lock:
-            for block in self._pending:
-                self._dispatch(block)
-            self._pending = []
+            payloads = self._drain_compute()
+        for payload in payloads:
+            self._emit(*payload)
 
     def _emit(
         self, baseband, audios, spec, batched: bool,
@@ -582,11 +598,6 @@ class Receiver:
         self._rstate, (audios, spec) = self._step_scan(self._rstate, re, im)
         return list(blocks), audios, spec, True, 1.0
 
-    def _dispatch(self, block: np.ndarray, valid_fraction: float = 1.0) -> None:
-        with self._state_lock:
-            payload = self._compute(block, valid_fraction)
-        self._emit(*payload)
-
     def flush(self) -> None:
         """Dispatch any pending partial block (stream tail).
 
@@ -595,13 +606,16 @@ class Receiver:
         (recorder durations match capture durations; the reference never
         pads because its blocks are dynamic, ``stream.h:43-92``).
         """
+        payloads = []
         with self._state_lock:
-            self.drain()
+            payloads += self._drain_compute()
             if self.framer.pending:
                 frac = self.framer.pending / self.block_len
                 pad = self.block_len - self.framer.pending
                 for block in self.framer.push(np.zeros(pad, np.complex64)):
-                    self._dispatch(block, valid_fraction=frac)
+                    payloads.append(self._compute(block, valid_fraction=frac))
+        for payload in payloads:
+            self._emit(*payload)
 
     def run_file(self, path: str) -> None:
         """Process a whole IQ WAV recording (file_source parity)."""

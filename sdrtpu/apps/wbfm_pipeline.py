@@ -95,6 +95,12 @@ class WbfmMultiVfoPipeline(StreamOp):
             f"IF block {n_if} not a multiple of audio quantum "
             f"{self.audio_resamp.block_multiple()}"
         )
+        # Optional per-window reduction applied to the spectrum INSIDE
+        # the steady-state scan (e.g. jnp.max for a benchmark probe):
+        # without it, a K=256 dispatch stacks (K, F, fft_size) dB frames
+        # (~64 MB of scan-output traffic) that a consumer wanting only a
+        # summary would immediately reduce anyway.  None = full frames.
+        self.spec_reduce = None
         # Optional waterfall branch, matching the reference front end where
         # the FFT path always runs beside the VFOs (iq_frontend.cpp:17-70,
         # default 65536 bins @ 20 Hz per core.cpp:126-128).
@@ -169,24 +175,35 @@ class WbfmMultiVfoPipeline(StreamOp):
         segs = self.spectrum.extract(xb) if self.spectrum is not None else ()
         return chan_state, (y, segs)
 
-    def _back_batch(self, state, chan_state, ys, segs, K: int):
-        """ys: (K, C, n_if) from the front scan -> per-dispatch outputs."""
-        st = {"chan": chan_state}
-        C = ys.shape[1]
-        n_if = ys.shape[0] * ys.shape[2]
-        y = jnp.moveaxis(ys, 0, 1).reshape(C, n_if)  # (C, K*n_if)
+    def _back_end(self, st, state, y, segs, K: int):
+        """Shared IF-rate tail: demod -> audio -> deemph (+ batched
+        spectrum transform), reframed per block.
+
+        ``y``: (C, K*n_if); ``segs``: (K*F, nz) raw spectrum segments
+        (ignored when the spectrum branch is off).  Used by both the
+        straight-line window path and the per-block front-scan fallback
+        so the back-end chain exists exactly once.
+        """
         st["demod"], (stereo, _) = self.demod(state["demod"], y)
         st["audio"], a = self.audio_resamp(state["audio"], stereo)
         st["deemph"], a = self.deemph(state["deemph"], a)  # (2, C, K*n_af)
-        a = a.reshape(a.shape[0], C, K, -1)
+        a = a.reshape(a.shape[0], a.shape[1], K, -1)
         a = jnp.moveaxis(a, 2, 0)  # (K, 2, C, n_af) — per-block framing
         if self.spectrum is not None:
-            F = segs.shape[1]
-            spec = self.spectrum.transform(
-                segs.reshape(K * F, segs.shape[2])
-            ).reshape(K, F, -1)
-            return st, (a, spec)
+            spec = self.spectrum.transform(segs)
+            if self.spec_reduce is not None:
+                return st, (a, self.spec_reduce(spec))
+            return st, (a, spec.reshape(K, -1, spec.shape[-1]))
         return st, a
+
+    def _back_batch(self, state, chan_state, ys, segs, K: int):
+        """ys: (K, C, n_if) from a per-block front scan -> outputs."""
+        st = {"chan": chan_state}
+        C = ys.shape[1]
+        y = jnp.moveaxis(ys, 0, 1).reshape(C, -1)  # (C, K*n_if)
+        if self.spectrum is not None:
+            segs = segs.reshape(K * segs.shape[1], segs.shape[2])
+        return self._back_end(st, state, y, segs, K)
 
     def _batched(self, state, x_cat, K: int):
         """One straight-line program over the concatenated K-block window.
@@ -201,16 +218,20 @@ class WbfmMultiVfoPipeline(StreamOp):
         """
         st = dict(state)
         st["chan"], y = self.channelizer(state["chan"], x_cat)  # (C, K*nif)
-        st["demod"], (stereo, _) = self.demod(state["demod"], y)
-        st["audio"], a = self.audio_resamp(state["audio"], stereo)
-        st["deemph"], a = self.deemph(state["deemph"], a)  # (2, C, K*n_af)
-        a = a.reshape(a.shape[0], a.shape[1], K, -1)
-        a = jnp.moveaxis(a, 2, 0)  # (K, 2, C, n_af) — per-block framing
-        if self.spectrum is not None:
-            segs = self.spectrum.extract(x_cat)  # (K*F, nz)
-            spec = self.spectrum.transform(segs)
-            return st, (a, spec.reshape(K, -1, spec.shape[-1]))
-        return st, a
+        segs = (self.spectrum.extract(x_cat)
+                if self.spectrum is not None else ())
+        return self._back_end(st, state, y, segs, K)
+
+    def _front_window(self, state, xw, sub: int):
+        """Per-block front scan over one sub-window + shared back end —
+        the fallback for channelizer methods without K-window support
+        (xla-fused / pallas), bounded by the same sub-window size as the
+        straight-line path so the back end never sees the degraded
+        >100 MB-intermediate regime."""
+        chan_state, (ys, segs) = jax.lax.scan(
+            self._front_body, state["chan"], xw
+        )
+        return self._back_batch(state, chan_state, ys, segs, sub)
 
     # Sub-window length for the batched steady-state path, in SAMPLES.
     # Measured on v5e (8-VFO flagship, 500k blocks, sweep of the
@@ -252,24 +273,30 @@ class WbfmMultiVfoPipeline(StreamOp):
         ``(K, 2, C, n_af)`` and spectra as ``(K, frames, fft_size)``.
         """
         K = xs.shape[0]
-        if self.channelizer.method not in ("fft", "pfb"):
-            chan_state, (ys, segs) = jax.lax.scan(
-                self._front_body, state["chan"], xs
-            )
-            return self._back_batch(state, chan_state, ys, segs, K)
         sub = self._subk(K)
+        whole = self.channelizer.method in ("fft", "pfb")
         if sub == K:
-            return self._batched(state, xs.reshape(-1), K)
-        xw = xs.reshape(K // sub, sub * xs.shape[-1])
+            if whole:
+                return self._batched(state, xs.reshape(-1), K)
+            return self._front_window(state, xs, K)
+        if whole:
+            xw = xs.reshape(K // sub, sub * xs.shape[-1])
 
-        def body(st, xsub):
-            st, out = self._batched(st, xsub, sub)
-            return st, out
+            def body(st, xsub):
+                return self._batched(st, xsub, sub)
+        else:
+            xw = xs.reshape(K // sub, sub, xs.shape[-1])
+
+            def body(st, xsub):
+                return self._front_window(st, xsub, sub)
 
         state = self._stabilize(state, body, xw[0])
         st, outs = jax.lax.scan(body, state, xw)
         return st, jax.tree_util.tree_map(
-            lambda a: a.reshape((K,) + a.shape[2:]), outs
+            lambda a: (a.reshape((K,) + a.shape[2:])
+                       if a.ndim >= 2 and a.shape[:2] == (K // sub, sub)
+                       else a),
+            outs,
         )
 
     def scan_repeat(self, state, x, K: int):
@@ -277,23 +304,28 @@ class WbfmMultiVfoPipeline(StreamOp):
         times (benchmark steady state: a NIC-fed ring buffer's working
         set)."""
         n = x.shape[-1]
-        if self.channelizer.method not in ("fft", "pfb"):
-            chan_state, (ys, segs) = jax.lax.scan(
-                lambda cst, _: self._front_body(cst, x), state["chan"],
-                None, length=K,
-            )
-            return self._back_batch(state, chan_state, ys, segs, K)
         sub = self._subk(K)
-        x_sub = jnp.broadcast_to(x[None, :], (sub, n)).reshape(-1)
-        if sub == K:
-            return self._batched(state, x_sub, K)
+        whole = self.channelizer.method in ("fft", "pfb")
+        if whole:
+            x_sub = jnp.broadcast_to(x[None, :], (sub, n)).reshape(-1)
+            if sub == K:
+                return self._batched(state, x_sub, K)
 
-        def body(st, _):
-            st, out = self._batched(st, x_sub, sub)
-            return st, out
+            def body(st, _):
+                return self._batched(st, x_sub, sub)
+        else:
+            x_sub = jnp.broadcast_to(x[None, :], (sub, n))
+            if sub == K:
+                return self._front_window(state, x_sub, K)
+
+            def body(st, _):
+                return self._front_window(st, x_sub, sub)
 
         state = self._stabilize(state, lambda s, xv: body(s, None), None)
         st, outs = jax.lax.scan(body, state, None, length=K // sub)
         return st, jax.tree_util.tree_map(
-            lambda a: a.reshape((K,) + a.shape[2:]), outs
+            lambda a: (a.reshape((K,) + a.shape[2:])
+                       if a.ndim >= 2 and a.shape[:2] == (K // sub, sub)
+                       else a),
+            outs,
         )

@@ -129,8 +129,13 @@ class AtvLineSync(StreamOp):
         i0 = jnp.floor(pos).astype(jnp.int32)
         frac = pos - i0.astype(jnp.float32)
         m = n + self.line_size
-        a = ext[i0 % m]
-        b = ext[(i0 + 1) % m]
+        # CLAMP (not wrap): a refined phase slightly outside [0, line)
+        # must repeat the edge sample, never alias the opposite end of
+        # the block (a modulo here would splice the newest sample into
+        # the first pixel whenever the refinement goes negative)
+        i0 = jnp.clip(i0, 0, m - 2)
+        a = ext[i0]
+        b = ext[i0 + 1]
         lines = (a * (1.0 - frac) + b * frac).reshape(rows, self.line_size)
         new_state = ext[-self.line_size:]
         return new_state, lines

@@ -288,8 +288,21 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
         )
         return realify(st), y
 
-    add("channelizer", chan_step, realify(pipe.channelizer.init_state()),
-        channelizer_model(pipe.channelizer.fused, block_len))
+    # the analytic traffic model knows the FFT alias-fold plan; other
+    # fronts (pfb / xla-fused / pallas) are timed without a byte model
+    # rather than crashing the whole profile on missing attributes
+    if hasattr(pipe.channelizer.fused, "n_chunks"):
+        add("channelizer", chan_step,
+            realify(pipe.channelizer.init_state()),
+            channelizer_model(pipe.channelizer.fused, block_len))
+    else:
+        t_chan = slope_time(
+            chan_step, realify(pipe.channelizer.init_state())
+        )
+        stages["channelizer"] = {
+            "ms_per_block": round(t_chan * 1e3, 4),
+            "bound": "unmodeled",
+        }
 
     def demod_step(rst, salt):
         st, (s, _) = pipe.demod(
@@ -333,12 +346,17 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
     )
     total_flops = 0.0
     total_bytes = 0.0
-    for name, model in (
-        ("channelizer", channelizer_model(pipe.channelizer.fused, block_len)),
+    models = [
         ("wfm_demod", wfm_model(pipe.demod, C, n_if)),
         ("audio_resamp_deemph",
          audio_model(pipe.audio_resamp, pipe.deemph, C, n_if, n_af)),
-    ):
+    ]
+    if hasattr(pipe.channelizer.fused, "n_chunks"):
+        models.append(
+            ("channelizer",
+             channelizer_model(pipe.channelizer.fused, block_len))
+        )
+    for name, model in models:
         total_flops += model[0]
         total_bytes += model[1]
     if pipe.spectrum is not None:

@@ -123,3 +123,66 @@ def test_flagship_scan_call_sparse_fold():
     # skip the filter-fill transient blocks (angle() of ~0 samples)
     np.testing.assert_allclose(np.asarray(a2)[2:], np.asarray(a1)[2:],
                                atol=2e-4)
+
+
+def test_scan_call_spec_reduce():
+    """spec_reduce collapses the spectrum inside the scan (bench probe
+    mode); audio is unchanged."""
+    fs = 2_000_000.0
+    block = 20_000
+    K = 6
+    offs = np.linspace(-0.35, 0.35, 4) * fs
+    x = _wideband(fs, K * block, offs)
+
+    def build():
+        return WbfmMultiVfoPipeline(
+            offs, fs, block, channelizer_method="fft",
+            spectrum=True, fft_size=4096, fft_rate=100.0,
+        )
+
+    full = build()
+    _, (a1, s1) = full.scan_call(full.init_state(),
+                                 jnp.asarray(x.reshape(K, block)))
+    red = build()
+    red.spec_reduce = jnp.max
+    import os
+    os.environ["SDRTPU_SUBK"] = "2"
+    try:
+        _, (a2, s2) = red.scan_call(red.init_state(),
+                                    jnp.asarray(x.reshape(K, block)))
+    finally:
+        del os.environ["SDRTPU_SUBK"]
+    assert np.asarray(s2).shape == (K // 2,)
+    np.testing.assert_allclose(float(np.max(np.asarray(s2))),
+                               float(np.max(np.asarray(s1))), atol=1e-3)
+
+
+def test_scan_call_nonfft_subwindows():
+    """The xla-fused fallback path also runs sub-windowed and matches
+    sequential per-block processing."""
+    import os
+
+    fs = 2_000_000.0
+    block = 20_000
+    K = 4
+    offs = np.linspace(-0.3, 0.3, 3) * fs
+    x = _wideband(fs, K * block, offs)
+    pipe = WbfmMultiVfoPipeline(offs, fs, block,
+                                channelizer_method="xla-fused")
+    assert pipe.channelizer.method == "xla-fused"
+    st = pipe.init_state()
+    seq = []
+    for blk in x.reshape(K, block):
+        st, a = pipe(st, jnp.asarray(blk))
+        seq.append(np.asarray(a))
+
+    pipe2 = WbfmMultiVfoPipeline(offs, fs, block,
+                                 channelizer_method="xla-fused")
+    os.environ["SDRTPU_SUBK"] = "2"
+    try:
+        _, a2 = pipe2.scan_call(pipe2.init_state(),
+                                jnp.asarray(x.reshape(K, block)))
+    finally:
+        del os.environ["SDRTPU_SUBK"]
+    np.testing.assert_allclose(np.asarray(a2)[2:], np.stack(seq)[2:],
+                               atol=2e-4)
