@@ -170,7 +170,7 @@ def measure_hbm_peak(nbytes: int = 1 << 28) -> float:
     # x must be a jit ARGUMENT: a closed-over concrete array is embedded
     # as a literal in the compile payload, and a 256 MB constant blows
     # the remote-compile tunnel's request-size limit (HTTP 413)
-    x = jax.device_put(np.arange(n, dtype=np.float32))
+    x = jax.device_put((np.arange(n) % 1024 / 1024.0).astype(np.float32))
 
     def make(k):
         @jax.jit
@@ -179,12 +179,16 @@ def measure_hbm_peak(nbytes: int = 1 << 28) -> float:
                 c, salt = carry
                 # full-array reduction of a salt-dependent expression:
                 # one HBM read per element per iteration, nothing
-                # hoistable.  (A read+write form is not forceable through
-                # dataflow — XLA rightly fuses the write away — so the
-                # ceiling measured is STREAMING READ bandwidth, the
-                # binding resource for every memory-bound stage here.)
-                s = jnp.sum(x_ * (np.float32(1.0) + salt * np.float32(1e-30)))
-                return (c + s, s * np.float32(1e-30)), ()
+                # hoistable.  The salt chain's scales must stay in f32's
+                # normal range — a factor that underflows to 0 turns the
+                # multiplier into a hoistable constant and the "measured"
+                # bandwidth exceeds the paper peak.  (A read+write form
+                # is not forceable through dataflow — XLA rightly fuses
+                # the write away — so the ceiling measured is STREAMING
+                # READ bandwidth, the binding resource for every
+                # memory-bound stage here.)
+                s = jnp.sum(x_ * (np.float32(1.0) + salt * np.float32(1e-6)))
+                return (c + s, s * np.float32(2e-8)), ()
             carry, _ = jax.lax.scan(
                 body, (jnp.float32(0), jnp.float32(0)), None, length=k
             )
