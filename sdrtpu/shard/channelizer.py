@@ -421,6 +421,24 @@ class FftDecimatorChain(StreamOp):
         self._hf_folded = np.ascontiguousarray(
             hf.reshape(self.n_channels, R, self.nif)
         ).astype(np.complex64)
+        # Polyphase-split forward transform (default): instead of one
+        # nfft-point FFT per chunk, split n = q*R + s (Cooley-Tukey) so
+        # only length-nif FFTs run on device:
+        #     F_s[p, k] = FFT_nif(chunk_p[qR + s] over q)
+        #     X[p, r*nif+k] = sum_s e^{-2pi i s(r*nif+k)/nfft} F_s[p, k]
+        # and the alias fold absorbs the outer stage into the table:
+        #     S[c,p,k] = sum_s F[p,s,k] * G[c,s,k],
+        #     G[c,s,k] = (1/R) e^{-2pi i s k/nfft} DFT_R(hf[c,:,k])[s].
+        # Same einsum shape as the direct fold; the length-nif FFT batch
+        # runs ~8.6x faster than the nfft-point batch on v5e (measured
+        # 128 vs 14.8 Gpts/s at the 64-VFO plan, docs/PERF.md round 4).
+        s_idx = np.arange(R, dtype=np.float64)
+        k_idx = np.arange(self.nif, dtype=np.float64)
+        tw = np.exp(-2j * np.pi * np.outer(s_idx, k_idx) / nfft)  # (R, nif)
+        G = np.fft.fft(hf.reshape(self.n_channels, R, self.nif), axis=1)
+        self._g_folded = np.ascontiguousarray(
+            G * tw[None, :, :] / R
+        ).astype(np.complex64)
         # Sparse fold (opt-in): each channel's filter spectrum H(f - f_c)
         # is a narrowband lowpass shifted to f_c — of the R alias rows,
         # only the few crossing its pass/transition band carry energy.
@@ -452,6 +470,7 @@ class FftDecimatorChain(StreamOp):
             self._fold_idx = idx
             self._hf_sparse = hs
             del self._hf_folded  # dense table unused in sparse mode
+            del self._g_folded
         self.rot = MultiVfoMixer(-offsets, samplerate / R, n // R)
         # The taps are modulated over the PADDED index, adding a constant
         # e^{j w' (tpad - t_eq)} that the rotator phase must cancel:
@@ -471,7 +490,7 @@ class FftDecimatorChain(StreamOp):
             st["hf"] = self._hf_sparse  # (C, Rk, nif)
             st["fold_idx"] = self._fold_idx  # (C, Rk) int32
         else:
-            st["hf"] = self._hf_folded  # (C, R, nif)
+            st["hf"] = self._g_folded  # (C, R, nif) twiddle-folded table
         return st
 
     def retune_state(self, state, offsets_hz, samplerate: float,
@@ -513,7 +532,7 @@ class FftDecimatorChain(StreamOp):
             np.float32(_TWO_PI),
         )
         # adopt the fresh host tables so init_state() is valid post-retune
-        for attr in ("_hf_folded", "_hf_sparse", "_fold_idx"):
+        for attr in ("_hf_folded", "_g_folded", "_hf_sparse", "_fold_idx"):
             if hasattr(fresh, attr):
                 setattr(self, attr, getattr(fresh, attr))
         self._phase0 = fresh._phase0
@@ -548,18 +567,22 @@ class FftDecimatorChain(StreamOp):
             [jax.lax.dynamic_slice_in_dim(rows, q, P, axis=0) for q in range(Q)],
             axis=-1,
         )[:, :F]  # (P, nfft)
-        X = jnp.fft.fft(chunks)
-        Xr = X.reshape(P, self.ratio, self.nif)
         hf = jnp.asarray(state["hf"])
         if self._sparse:
+            X = jnp.fft.fft(chunks)
+            Xr = X.reshape(P, self.ratio, self.nif)
             # gather each channel's live alias rows, multiply-reduce over
             # them: (P, C, Rk, nif) x (C, Rk, nif) -> (C, P, nif)
             idx = jnp.asarray(state["fold_idx"])  # (C, Rk)
             Xg = Xr[:, idx, :]  # (P, C, Rk, nif)
             S = jnp.einsum("pcrk,crk->cpk", Xg, hf) / self.ratio
         else:
-            # fold: sum over the alias (R) axis of the pointwise product
-            S = jnp.einsum("prk,crk->cpk", Xr, hf) / self.ratio
+            # polyphase-split forward transform: length-nif FFT batch +
+            # twiddle-folded fold table G (see __init__) — ~8.6x faster
+            # than the direct nfft-point FFT batch on v5e
+            cp = chunks.reshape(P, self.nif, self.ratio)
+            Fp = jnp.fft.fft(jnp.swapaxes(cp, -1, -2))  # (P, R, nif)
+            S = jnp.einsum("psk,csk->cpk", Fp, hf)  # 1/R folded into G
         y = jnp.fft.ifft(S)  # (C, P, nif) — C local under shard_map
         m0 = (self.tpad - 1) // self.ratio
         y = y[:, :, m0 : m0 + self.valid // self.ratio]
