@@ -2,17 +2,29 @@
 
 SURVEY §7 chose large blocks for throughput; this bench documents the
 small-block trade (VERDICT r2 #8): for block sizes from 5 ms to 50 ms of
-signal, one block per dispatch (K=1, the `--low-latency` CLI mode),
-measures median wall time per dispatch (the user-visible added latency:
-tunnel RTT + device compute), sustained single-stream throughput, and
-real-time factor.  Prints one JSON line per block size (stderr has
-diagnostics).
+signal, one block per dispatch (K=1, the `--low-latency` CLI mode).
+
+Two dispatch disciplines per block size:
+
+- **serial** (round-3): dispatch -> fetch -> dispatch.  Each block pays
+  the full tunnel RTT; the user-visible latency and the sustained rate
+  coincide.
+- **pipelined** (round-4, VERDICT r3 #5): keep ``DEPTH`` dispatches in
+  flight — JAX async dispatch lets the host enqueue block i+1..i+D while
+  block i executes, so device compute overlaps the ~25 ms RTT.  The
+  loop dispatches, then fetches the (i-D)-th block's probe.  Sustained
+  real-time factor is wall/N; per-block latency is issue->fetch-return
+  for the same block.  If the tunnel serializes dispatches, sustained
+  == serial and that is the documented deployment constraint.
+
+Prints one JSON line per block size (stderr has diagnostics).
 """
 
 import json
 import os
 import sys
 import time
+from collections import deque
 
 import numpy as np
 import jax
@@ -22,6 +34,9 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 os.makedirs(_CACHE, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+DEPTH = int(os.environ.get("SDRTPU_LAT_DEPTH", 8))
+N_BLOCKS = int(os.environ.get("SDRTPU_LAT_BLOCKS", 64))
 
 
 def log(*a):
@@ -50,25 +65,47 @@ def main():
         @jax.jit
         def step(rstate):
             st, a = pipe(complexify(rstate), jax.lax.complex(re, im))
-            return realify(st), a
+            # scalar probe: fetching it forces completion of THIS block
+            # without pulling the audio through the tunnel
+            return realify(st), a, jnp.sum(a)
 
         t0 = time.time()
-        rstate, a = step(realify(pipe.init_state()))
-        # force completion (block_until_ready can return early here)
-        float(jnp.sum(a))
+        rstate, a, p = step(realify(pipe.init_state()))
+        float(p)  # force completion (block_until_ready can return early)
         compile_s = time.time() - t0
-        rstate, a = step(rstate)
-        float(jnp.sum(a))
+        rstate, a, p = step(rstate)
+        float(p)
 
+        # --- serial discipline (user-visible latency per block) ----------
         laps = []
         for _ in range(40):
             t0 = time.perf_counter()
-            rstate, a = step(rstate)
-            float(jnp.sum(a))  # fetch = the latency a live sink observes
+            rstate, a, p = step(rstate)
+            float(p)  # fetch = the latency a live sink observes
             laps.append(time.perf_counter() - t0)
         laps = np.array(laps) * 1e3
         sig_ms = block_len / fs_in * 1e3
         med = float(np.median(laps))
+
+        # --- pipelined discipline (DEPTH dispatches in flight) -----------
+        inflight = deque()
+        lat = []
+        t_start = time.perf_counter()
+        for i in range(N_BLOCKS):
+            rstate, a, p = step(rstate)
+            inflight.append((time.perf_counter(), p))
+            if len(inflight) > DEPTH:
+                t_issue, probe = inflight.popleft()
+                float(probe)
+                lat.append(time.perf_counter() - t_issue)
+        while inflight:
+            t_issue, probe = inflight.popleft()
+            float(probe)
+            lat.append(time.perf_counter() - t_issue)
+        wall = time.perf_counter() - t_start
+        sustained_ms = wall / N_BLOCKS * 1e3
+        lat = np.array(lat) * 1e3
+
         rec = {
             "metric": "flagship_dispatch_latency",
             "block_ms_of_signal": round(sig_ms, 1),
@@ -77,6 +114,12 @@ def main():
             "p90_dispatch_ms": round(float(np.percentile(laps, 90)), 1),
             "rtf": round(sig_ms / med, 2),
             "single_stream_msps": round(block_len / (med / 1e3) / 1e6, 1),
+            "pipelined_depth": DEPTH,
+            "pipelined_sustained_ms_per_block": round(sustained_ms, 2),
+            "pipelined_rtf": round(sig_ms / sustained_ms, 2),
+            "pipelined_latency_ms_median": round(float(np.median(lat)), 1),
+            "pipelined_latency_ms_p90": round(
+                float(np.percentile(lat, 90)), 1),
             "compile_s": round(compile_s, 1),
         }
         print(json.dumps(rec), flush=True)

@@ -52,6 +52,7 @@ class WbfmMultiVfoPipeline(StreamOp):
         spectrum: bool = False,
         fft_size: int = 65536,
         fft_rate: float = 20.0,
+        pilot_mode: str = "envelope",
     ):
         self.offsets = np.asarray(offsets_hz, np.float64)
         self.n_channels = len(self.offsets)
@@ -74,12 +75,16 @@ class WbfmMultiVfoPipeline(StreamOp):
         # stopband at the 19 kHz pilot.  The polyphase matmul's cost is
         # independent of prototype length, so the combined filter is free
         # and sharper than the reference's cascade (lpf -> resampler).
+        # pilot_mode "envelope": the real-bandpass + segment-mean pilot
+        # normalization (kernels/wfm.py) — algebraically equal to the
+        # "normalized" analytic path's Re(conj(vco)^2) at half the pilot
+        # FFT batch (the demod's dominant cost at many channels).
         self.demod = BroadcastFm(
             deviation=deviation,
             samplerate=if_rate,
             stereo=stereo,
             low_pass=False,
-            pilot_mode="normalized",
+            pilot_mode=pilot_mode,
         )
         # Audio is real stereo: resample in float32 (half the arithmetic
         # and HBM traffic of the complex path).

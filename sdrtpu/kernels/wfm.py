@@ -12,7 +12,13 @@ program:
     rds    = resample(xlate(m, -57 kHz), 5 kHz)          # optional tap
 
 Pilot tracking modes:
-- ``"normalized"`` (default): vco = p/|p| — the filtered pilot *is* the
+- ``"envelope"``: the stereo decode only consumes ``c2 = Re(conj(vco)^2)``
+  = -cos(2*theta); with a REAL pilot bandpass r = A*sin(theta) this equals
+  ``r^2 / mean(r^2) - 1`` exactly (r^2 = A^2(1-cos 2theta)/2, the segment
+  mean averages ~380 subcarrier cycles of the 2theta ripple away) — no
+  analytic (complex) filtering, so the pilot FIR's FFTs run at HALF the
+  batch via the real-packing path.  Default for the flagship pipeline.
+- ``"normalized"``: vco = p/|p| — the complex-filtered pilot *is* the
   locked VCO; zero sequential work.
 - ``"regression"``: per-block linear phase fit (`loops.pilot_phase_fit`) —
   an effectively zero-bandwidth PLL, best SNR.
@@ -40,6 +46,22 @@ from .resample import RationalResampler
 from .util import Delay
 
 
+def _segment_mean(r2, seg: int = 2500):
+    """Per-segment mean along the last axis, broadcast back to shape.
+
+    ``seg`` = 10 ms at the 250 kHz IF rate: ~380 cycles of the 2*theta
+    (38 kHz) ripple average out, while the pilot amplitude — quasi-static
+    over tens of ms — is tracked per segment.  Rows not divisible by
+    ``seg`` fall back to a whole-row mean.
+    """
+    n = r2.shape[-1]
+    if n % seg:
+        return jnp.mean(r2, axis=-1, keepdims=True)
+    shp = r2.shape[:-1] + (n // seg, seg)
+    m = jnp.mean(r2.reshape(shp), axis=-1, keepdims=True)
+    return jnp.broadcast_to(m, shp).reshape(r2.shape)
+
+
 class BroadcastFm(StreamOp):
     """WFM demod: complex IQ at `samplerate` -> (2, n) stereo audio at IF rate.
 
@@ -61,14 +83,21 @@ class BroadcastFm(StreamOp):
         self.stereo = stereo
         self.low_pass = low_pass
         self.rds_out = rds_out
-        assert pilot_mode in ("normalized", "regression", "pll")
+        assert pilot_mode in ("envelope", "normalized", "regression", "pll")
         self.pilot_mode = pilot_mode
 
         self.quad = Quadrature(deviation, samplerate)
         pilot_taps = tapsmod.band_pass(
             18750.0, 19250.0, 3000.0, samplerate, odd_tap_count=True
         )
-        self.pilot_fir = Fir(pilot_taps, dtype=jnp.complex64)
+        if pilot_mode == "envelope":
+            # real bandpass = 2*Re(analytic bandpass): same length, same
+            # group delay, half the FFT batch (real-packed overlap-save)
+            self.pilot_fir = Fir(
+                2.0 * np.real(pilot_taps), dtype=jnp.float32
+            )
+        else:
+            self.pilot_fir = Fir(pilot_taps, dtype=jnp.complex64)
         d = (len(pilot_taps) - 1) // 2 + 1
         # One real delay serves both branches: the reference delays the
         # discriminator output twice (real L+R path and a complex copy for
@@ -86,6 +115,8 @@ class BroadcastFm(StreamOp):
                 min_freq=tapsmod.hz_to_rads(18750.0, samplerate),
                 max_freq=tapsmod.hz_to_rads(19250.0, samplerate),
             )
+        elif pilot_mode == "envelope":
+            self.pilot_pll = None
         else:
             self.pilot_pll = NormalizedPilot()
 
@@ -104,7 +135,7 @@ class BroadcastFm(StreamOp):
         return {
             "quad": self.quad.init_state(),
             "pilot_fir": self.pilot_fir.init_state(),
-            "pll": self.pilot_pll.init_state(),
+            "pll": self.pilot_pll.init_state() if self.pilot_pll else (),
             "lpr_delay": self.lpr_delay.init_state(),
             "al": self.al_fir.init_state(),
             "ar": self.ar_fir.init_state(),
@@ -133,19 +164,29 @@ class BroadcastFm(StreamOp):
             out = jnp.stack([m, m])
             return st, (out, rds)
 
-        mc = m.astype(jnp.complex64)
-        st["pilot_fir"], p = self.pilot_fir(state["pilot_fir"], mc)
-        if self.pilot_mode == "regression":
-            vco = pilot_phase_fit(p, 19000.0, self.samplerate)
+        if self.pilot_mode == "envelope":
+            # c2 = Re(conj(vco)^2) computed without complex filtering:
+            # r = A sin(theta) (real bandpass), r^2 = A^2 (1 - cos 2theta)/2,
+            # so r^2/mean(r^2) - 1 = -cos(2 theta) = Re(conj(vco)^2) of the
+            # analytic path, exactly (amplitude-normalized like p/|p|).
+            st["pilot_fir"], r = self.pilot_fir(state["pilot_fir"], m)
+            r2 = r * r
+            c2 = r2 / jnp.maximum(_segment_mean(r2), 1e-12) - 1.0
         else:
-            st["pll"], vco = self.pilot_pll(state["pll"], p)
+            mc = m.astype(jnp.complex64)
+            st["pilot_fir"], p = self.pilot_fir(state["pilot_fir"], mc)
+            if self.pilot_mode == "regression":
+                vco = pilot_phase_fit(p, 19000.0, self.samplerate)
+            else:
+                st["pll"], vco = self.pilot_pll(state["pll"], p)
+            vco2 = jnp.conj(vco) * jnp.conj(vco)
+            c2 = vco2.real
 
         st["lpr_delay"], lpr = self.lpr_delay(state["lpr_delay"], m)
-
-        vco2 = jnp.conj(vco) * jnp.conj(vco)
-        lmr = 2.0 * lpr * vco2.real
+        lmr = 2.0 * lpr * c2
 
         if self.rds_out:
+            mc = m.astype(jnp.complex64)
             st["rds_xl"], rc = self.rds_xlator(state["rds_xl"], mc)
             st["rds_rs"], rds = self.rds_resamp(state["rds_rs"], rc)
 

@@ -51,12 +51,20 @@ def fft_flops(n: int, batch: int = 1) -> float:
 
 
 def channelizer_model(chain, block_len: int) -> tuple[float, float]:
-    """(flops, bytes) per block for an `FftDecimatorChain`."""
+    """(flops, bytes) per block for an `FftDecimatorChain`.
+
+    Models the polyphase-split forward path (round 4): the forward
+    transform is a length-nif FFT batch over the chunk polyphase
+    components (P*R rows), with the outer Cooley-Tukey stage folded into
+    the host-precomputed table — so FFT flops carry log2(nif), not
+    log2(nfft), and the chunk matrix additionally round-trips once
+    through the (P, R, nif) transpose.
+    """
     P, F, R = chain.n_chunks, chain.nfft, chain.ratio
     C, nif = chain.n_channels, chain.nif
     n_if_out = block_len // R
     flops = (
-        fft_flops(F, P)                    # shared forward FFTs
+        fft_flops(nif, P * R)              # split forward FFTs (len nif)
         + 8.0 * P * R * nif * C            # alias-fold einsum (cmul+add)
         + fft_flops(nif, C * P)            # per-channel IFFTs
         + 20.0 * C * n_if_out              # residual rotator (sin/cos/cmul)
@@ -65,7 +73,8 @@ def channelizer_model(chain, block_len: int) -> tuple[float, float]:
     bytes_ = (
         block_len * c64                    # wideband read
         + 2 * P * F * c64                  # chunk matrix write+read
-        + 2 * P * F * c64                  # spectrum X write+read
+        + 2 * P * F * c64                  # polyphase transpose write+read
+        + 2 * P * F * c64                  # spectrum F write+read
         + C * R * nif * c64                # folded filter table read
         + 2 * C * P * nif * c64            # folded spectrum write+read
         + 2 * C * n_if_out * c64           # ifft out + rotator read
@@ -111,18 +120,31 @@ def spectrum_model(spec, block_len: int) -> tuple[float, float]:
     return flops, bytes_
 
 
-def slope_time(step, state0, k1: int = 8, k2: int = 96, reps: int = 3) -> float:
+def slope_time(step, state0, k1: int = 8, k2: int = 96, reps: int = 4) -> float:
     """Per-iteration device time via the two-K slope (RTT cancels).
 
     ``step(state, salt) -> (state, out)`` must mix the float32 ``salt``
     scalar into its INPUT data; the scan feeds each iteration's salt from
     the previous output, creating a true serial dependency so XLA cannot
     hoist the (otherwise loop-invariant) work out of the loop.
-    """
 
-    def run(k):
+    ``state0`` may be a REALIFIED pytree (CplxPair leaves): it is
+    complexified ONCE before the scan and the scan carries the complex
+    state, so the probe adds no per-iteration re/im<->complex conversion
+    traffic.  (Round-3 probes converted inside the body; for stages whose
+    state holds multi-MB tables — the channelizer's folded filter bank —
+    that alone was ~2x the stage's real time and the reported 0.055-0.10
+    ms run-to-run "variance".)
+
+    The two K arms are interleaved (k1, k2, k1, k2, ...) so slow drift on
+    the shared tunnel hits both arms equally instead of biasing the
+    difference.
+    """
+    from .graph.compile import complexify, realify
+
+    def make(k):
         @jax.jit
-        def scan_k(st):
+        def scan_k(rst):
             def body(carry, _):
                 s, salt = carry
                 s, out = step(s, salt)
@@ -133,24 +155,30 @@ def slope_time(step, state0, k1: int = 8, k2: int = 96, reps: int = 3) -> float:
                 return (s, salt), ()
 
             carry, _ = jax.lax.scan(
-                body, (st, jnp.float32(0)), None, length=k
+                body, (complexify(rst), jnp.float32(0)), None, length=k
             )
-            return carry
+            return realify(carry[0]), carry[1]
 
-        st, salt = scan_k(state0)  # compile + run once
+        return scan_k
+
+    fns = {k: make(k) for k in (k1, k2)}
+
+    def run_once(k):
+        t0 = time.perf_counter()
+        st2, salt2 = fns[k](state0)
+        float(salt2) + float(
+            jnp.sum(jnp.abs(jax.tree_util.tree_leaves(st2)[0]))
+        )
+        return time.perf_counter() - t0
+
+    best = {k1: float("inf"), k2: float("inf")}
+    for k in (k1, k2):  # compile + warm once per arm
+        st, salt = fns[k](state0)
         float(jnp.sum(jnp.abs(jax.tree_util.tree_leaves(st)[0])))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            st2, salt2 = scan_k(state0)
-            float(salt2) + float(
-                jnp.sum(jnp.abs(jax.tree_util.tree_leaves(st2)[0]))
-            )
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, t2 = run(k1), run(k2)
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+    for _ in range(reps):
+        for k in (k1, k2):
+            best[k] = min(best[k], run_once(k))
+    return max((best[k2] - best[k1]) / (k2 - k1), 1e-9)
 
 
 def measure_hbm_peak(nbytes: int = 1 << 28) -> float:
@@ -260,8 +288,11 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
         # one jitted step stabilizes broadcastable state leaf shapes
         # (scalar IIR carries -> per-channel) before the scan carry;
         # jitted, not eager — eager op-by-op dispatch pays the tunnel
-        # RTT per op on remote backends
-        state0, _ = jax.jit(step_fn)(state0, jnp.float32(0))
+        # RTT per op on remote backends.  step_fn takes/returns COMPLEX
+        # state (slope_time converts at the jit boundary once).
+        state0 = jax.jit(
+            lambda rs: realify(step_fn(complexify(rs), jnp.float32(0))[0])
+        )(state0)
         t = slope_time(step_fn, state0) / blocks_per_step
         flops, bytes_ = model
         gflops = flops / t / 1e9
@@ -286,11 +317,9 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
             )
         stages[name] = entry
 
-    def chan_step(rst, salt):
-        st, y = pipe.channelizer(
-            complexify(rst), jax.lax.complex(re + salt, im)
-        )
-        return realify(st), y
+    def chan_step(st, salt):
+        st, y = pipe.channelizer(st, jax.lax.complex(re + salt, im))
+        return st, y
 
     # the analytic traffic model knows the FFT alias-fold plan; other
     # fronts (pfb / xla-fused / pallas) are timed without a byte model
@@ -308,20 +337,17 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
             "bound": "unmodeled",
         }
 
-    def demod_step(rst, salt):
-        st, (s, _) = pipe.demod(
-            complexify(rst), jax.lax.complex(y_re + salt, y_im)
-        )
-        return realify(st), s
+    def demod_step(st, salt):
+        st, (s, _) = pipe.demod(st, jax.lax.complex(y_re + salt, y_im))
+        return st, s
 
     add("wfm_demod", demod_step, realify(pipe.demod.init_state()),
         wfm_model(pipe.demod, C, n_if), blocks_per_step=K)
 
-    def audio_step(rst, salt):
-        st = complexify(rst)
+    def audio_step(st, salt):
         s1, a = pipe.audio_resamp(st["rs"], stereo + salt)
         s2, a = pipe.deemph(st["de"], a)
-        return realify({"rs": s1, "de": s2}), a
+        return {"rs": s1, "de": s2}, a
 
     add("audio_resamp_deemph", audio_step,
         realify({"rs": pipe.audio_resamp.init_state(),

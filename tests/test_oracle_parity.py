@@ -202,7 +202,7 @@ class TestBroadcastFmParity:
         assert snr_db(lo[skip:], l[skip:] - lo[skip:]) > 45.0
         assert snr_db(ro[skip:], r[skip:] - ro[skip:]) > 45.0
 
-    @pytest.mark.parametrize("mode", ["normalized", "regression"])
+    @pytest.mark.parametrize("mode", ["normalized", "regression", "envelope"])
     def test_block_parallel_modes_bounded(self, capture, oracle_lr, mode):
         """TPU-native pilot modes stay within an SNR bound of the oracle."""
         fs, iq = capture

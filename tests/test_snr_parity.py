@@ -88,7 +88,7 @@ def test_wfm_stereo_separation_floor():
     mpx = (0.45 * (L + R) + 0.1 * np.sin(2 * np.pi * 19000.0 * t)
            + 0.45 * (L - R) * np.sin(2 * np.pi * 38000.0 * t))
     iq = np.exp(1j * np.cumsum(2 * np.pi * 75000.0 * mpx / fs)).astype(np.complex64)
-    for mode in ("normalized", "regression"):
+    for mode in ("normalized", "regression", "envelope"):
         d = BroadcastFm(samplerate=fs, stereo=True, pilot_mode=mode)
         _, (out, _) = d(d.init_state(), jnp.asarray(iq))
         out = np.asarray(out)[:, 20000:]

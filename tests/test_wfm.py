@@ -28,7 +28,7 @@ def tone_power(x, f, fs):
     return spec[band].sum()
 
 
-@pytest.mark.parametrize("pilot_mode", ["normalized", "regression"])
+@pytest.mark.parametrize("pilot_mode", ["normalized", "regression", "envelope"])
 def test_stereo_separation(pilot_mode):
     fs = 250000.0
     iq, L, R = make_stereo_fm(fs=fs)
