@@ -165,8 +165,8 @@ def main():
     # the whole sequence.  A host fetch of an on-device reduction forces
     # real completion (block_until_ready alone can return early on this
     # backend's async runtime).
-    best = 0.0
-    for _ in range(3):
+    passes = []
+    for _ in range(5):
         n_disp = 32
         t0 = time.time()
         for _ in range(n_disp):
@@ -174,15 +174,23 @@ def main():
         probe = float(jnp.sum(audio)) + float(jnp.sum(wf))
         dt = time.time() - t0
         sps = n_disp * K * block_len / dt
-        best = max(best, sps)
+        passes.append(sps)
         log(f"  pass: {dt*1000:.1f} ms for {n_disp} dispatches -> {sps/1e6:.1f} Msps (probe {probe:.3g})")
 
-    msps = best / 1e6
+    # headline = best pass (the steady-state capability: first passes can
+    # absorb one-time runtime warmup); median of all passes is reported
+    # alongside so run-to-run spread is visible in the artifact (VERDICT
+    # r3 bench-hygiene item).
+    msps = max(passes) / 1e6
     result = {
         "metric": "wbfm_8vfo_iq_throughput_per_chip",
         "value": round(msps, 2),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / 100.0, 3),
+        "median_value": round(float(np.median(passes)) / 1e6, 2),
+        "passes": [round(p / 1e6, 1) for p in passes],
+        "config": {"fs_in": fs_in, "n_vfo": n_vfo,
+                   "block_len": block_len, "k": K},
     }
 
     # The throughput line goes out FIRST so a timeout during the (compile-
@@ -206,7 +214,7 @@ def main():
             from sdrtpu.roofline import profile_flagship
 
             prof = profile_flagship(
-                pipe, x, measured_s_per_block=block_len / best
+                pipe, x, measured_s_per_block=block_len / max(passes)
             )
             for name, s in prof["stages"].items():
                 log(f"  roofline {name}: {s['ms_per_block']} ms/blk, "

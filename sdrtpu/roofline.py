@@ -83,6 +83,57 @@ def channelizer_model(chain, block_len: int) -> tuple[float, float]:
     return flops, bytes_
 
 
+def fold_model(chain) -> tuple[float, float]:
+    """(flops, bytes) for the alias-fold einsum ALONE (substage).
+
+    Used as a second model-vs-measured grounding point (VERDICT r3 #3):
+    the fold's traffic is exactly known — read the (P, nfft) spectrum,
+    read the (C, R, nif) table, write the (C, P, nif) folded spectrum —
+    so its measured GB/s can be compared against the streaming ceiling
+    with no unfused-intermediate ambiguity.
+    """
+    P, F, R = chain.n_chunks, chain.nfft, chain.ratio
+    C, nif = chain.n_channels, chain.nif
+    c64 = 8.0
+    flops = 8.0 * P * R * nif * C
+    bytes_ = (P * F + C * R * nif + C * P * nif) * c64
+    return flops, bytes_
+
+
+def pfb_model(pfb, block_len: int) -> tuple[float, float]:
+    """(flops, bytes) per block for a `PfbChannelizer` front end.
+
+    Counts the polyphase fold at its ALGORITHMIC traffic — each of the
+    V*tpp shifted-segment AXPYs reads an (F, D) span, i.e. the whole
+    input again — which is exactly why the untuned PFB measured 17x
+    under its own flop model on v5e (VERDICT r3 #8): the fold is
+    bandwidth-bound at tpp*V input re-reads, not flop-bound.
+    """
+    M, D, V, tpp = pfb.M, pfb.D, pfb.V, pfb.tpp
+    C = pfb.n_channels
+    F = block_len // D                      # frames per block
+    n_if = pfb.out_len(block_len)
+    tpp_r = getattr(getattr(pfb.resamp, "resamp", None), "taps_per_phase", 16)
+    c64 = 8.0
+    flops = (
+        2.0 * tpp * M * F                   # fold MACs (real taps x cplx)
+        + fft_flops(M, F)                   # M-point FFT batch
+        + 2.0 * F * M                       # frame twiddle
+        + 20.0 * C * F                      # residual rotator
+        + 8.0 * C * n_if * tpp_r            # fb->if polyphase resample
+    )
+    bytes_ = (
+        tpp * V * block_len * c64           # fold input re-reads (V*tpp spans)
+        + F * M * c64                       # fold output write
+        + 2 * F * M * c64                   # FFT in+out
+        + 2 * F * M * c64                   # twiddle read+write
+        + F * M * c64 + C * F * c64         # bin gather read+write
+        + 2 * C * F * c64                   # rotator read+write
+        + C * n_if * c64                    # IF output write
+    )
+    return flops, bytes_
+
+
 def wfm_model(demod, C: int, n_if: int) -> tuple[float, float]:
     """(flops, bytes) per block for `BroadcastFm` (normalized pilot)."""
     pilot_taps = 317  # 18.75-19.25 kHz bandpass at 250 kHz (bandpass est.)
@@ -120,7 +171,7 @@ def spectrum_model(spec, block_len: int) -> tuple[float, float]:
     return flops, bytes_
 
 
-def slope_time(step, state0, k1: int = 8, k2: int = 96, reps: int = 4) -> float:
+def slope_time(step, state0, k1: int = 8, k2: int = 96, reps: int = 6) -> float:
     """Per-iteration device time via the two-K slope (RTT cancels).
 
     ``step(state, salt) -> (state, out)`` must mix the float32 ``salt``
@@ -162,19 +213,26 @@ def slope_time(step, state0, k1: int = 8, k2: int = 96, reps: int = 4) -> float:
         return scan_k
 
     fns = {k: make(k) for k in (k1, k2)}
+    # Per-arm state THREADS ACROSS reps so no two dispatches carry
+    # identical (executable, args): repeated identical dispatches can
+    # return without re-executing on this runtime (result caching) and
+    # poison the slope.
+    cur = {k1: state0, k2: state0}
 
     def run_once(k):
         t0 = time.perf_counter()
-        st2, salt2 = fns[k](state0)
+        st2, salt2 = fns[k](cur[k])
         float(salt2) + float(
             jnp.sum(jnp.abs(jax.tree_util.tree_leaves(st2)[0]))
         )
+        cur[k] = st2
         return time.perf_counter() - t0
 
     best = {k1: float("inf"), k2: float("inf")}
     for k in (k1, k2):  # compile + warm once per arm
-        st, salt = fns[k](state0)
+        st, salt = fns[k](cur[k])
         float(jnp.sum(jnp.abs(jax.tree_util.tree_leaves(st)[0])))
+        cur[k] = st
     for _ in range(reps):
         for k in (k1, k2):
             best[k] = min(best[k], run_once(k))
@@ -202,41 +260,51 @@ def measure_hbm_peak(nbytes: int = 1 << 28) -> float:
 
     def make(k):
         @jax.jit
-        def scan_k(x_):
+        def scan_k(x_, carry0):
             def body(carry, _):
-                c, salt = carry
-                # full-array reduction of a salt-dependent expression:
-                # one HBM read per element per iteration, nothing
-                # hoistable.  The salt chain's scales must stay in f32's
-                # normal range — a factor that underflows to 0 turns the
-                # multiplier into a hoistable constant and the "measured"
-                # bandwidth exceeds the paper peak.  (A read+write form
-                # is not forceable through dataflow — XLA rightly fuses
-                # the write away — so the ceiling measured is STREAMING
-                # READ bandwidth, the binding resource for every
-                # memory-bound stage here.)
-                s = jnp.sum(x_ * (np.float32(1.0) + salt * np.float32(1e-6)))
-                return (c + s, s * np.float32(2e-8)), ()
-            carry, _ = jax.lax.scan(
-                body, (jnp.float32(0), jnp.float32(0)), None, length=k
-            )
+                c, idx = carry
+                # full-array reduction from a DATA-DEPENDENT slice start:
+                # the next iteration's offset is computed from this
+                # iteration's sum, so no algebra can hoist the reduction
+                # out of the loop.  (Round 3 used sum(x*(1+salt*eps)) —
+                # linear in salt, so the simplifier eventually rewrote it
+                # as sum(x)*(1+salt*eps), hoisted the invariant sum(x),
+                # and the "measured" bandwidth exceeded the 819 GB/s
+                # paper peak.  A read+write form is not forceable through
+                # dataflow — XLA rightly fuses the write away — so the
+                # ceiling measured is STREAMING READ bandwidth, the
+                # binding resource for every memory-bound stage here.)
+                seg = jax.lax.dynamic_slice_in_dim(x_, idx, x_.shape[0] - 16)
+                s = jnp.sum(seg)
+                return (c + s, jnp.int32(s) & np.int32(15)), ()
+            carry, _ = jax.lax.scan(body, carry0, None, length=k)
             return carry
         return scan_k
 
     def run(k):
         f = make(k)
-        c, s = f(x)
-        float(c)
+        # the carry THREADS ACROSS calls so no two dispatches have
+        # identical (executable, args) — repeated identical dispatches
+        # measured as returning without re-executing on this runtime
+        # (result caching), which made "measured" bandwidth exceed the
+        # paper peak
+        carry = (jnp.float32(0), jnp.int32(0))
+        carry = f(x, carry)
+        float(carry[0])
         best = float("inf")
         for _ in range(3):
             t0 = _time.perf_counter()
-            c, s = f(x)
-            float(c) + float(s)
+            carry = f(x, carry)
+            float(carry[0])
             best = min(best, _time.perf_counter() - t0)
         return best
 
-    t1, t2 = run(4), run(16)
-    t = max((t2 - t1) / 12.0, 1e-9)
+    # wide K separation: the two arms differ by ~48 iterations (~16 ms of
+    # device time) so the tunnel RTT's multi-ms jitter cannot compress
+    # the difference (at 4/16 one jittery rep inflated the "measured"
+    # bandwidth past the paper peak)
+    t1, t2 = run(4), run(52)
+    t = max((t2 - t1) / 48.0, 1e-9)
     return n * 4 / t / 1e9
 
 
@@ -321,13 +389,49 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
         st, y = pipe.channelizer(st, jax.lax.complex(re + salt, im))
         return st, y
 
-    # the analytic traffic model knows the FFT alias-fold plan; other
-    # fronts (pfb / xla-fused / pallas) are timed without a byte model
-    # rather than crashing the whole profile on missing attributes
-    if hasattr(pipe.channelizer.fused, "n_chunks"):
+    # the analytic traffic model knows the FFT alias-fold and PFB plans;
+    # remaining fronts (xla-fused / pallas) are timed without a byte
+    # model rather than crashing the profile on missing attributes
+    chain = pipe.channelizer.fused
+    if hasattr(chain, "n_chunks"):
         add("channelizer", chan_step,
             realify(pipe.channelizer.init_state()),
-            channelizer_model(pipe.channelizer.fused, block_len))
+            channelizer_model(chain, block_len))
+        if not chain._sparse:
+            # fold-substage cross-check (VERDICT r3 #3): its traffic is
+            # exactly (P*nfft + C*R*nif + C*P*nif) complex64 with no
+            # unfused intermediates, so measured GB/s vs the streaming
+            # ceiling grounds the byte-model methodology at a second
+            # point (the waterfall stage being the first).
+            def _mk_F(re_, im_):
+                ext = jnp.concatenate([
+                    jnp.zeros(chain.tpad - 1, jnp.complex64),
+                    jax.lax.complex(re_, im_),
+                ])
+                Fp = chain.poly_spectrum(
+                    chain.chunk_matrix(ext, chain.n_chunks)
+                )
+                return jnp.real(Fp), jnp.imag(Fp)
+
+            F_re, F_im = jax.jit(_mk_F)(re, im)
+            g_re = jax.device_put(
+                np.ascontiguousarray(chain._g_folded.real, np.float32))
+            g_im = jax.device_put(
+                np.ascontiguousarray(chain._g_folded.imag, np.float32))
+
+            def fold_step(st, salt):
+                Fc = jax.lax.complex(F_re + salt, F_im)
+                S = jnp.einsum(
+                    "psk,csk->cpk", Fc, jax.lax.complex(g_re, g_im)
+                )
+                return st, S
+
+            add("channelizer_fold", fold_step, jnp.float32(0),
+                fold_model(chain))
+    elif hasattr(chain, "M"):  # PfbChannelizer
+        add("channelizer", chan_step,
+            realify(pipe.channelizer.init_state()),
+            pfb_model(chain, block_len))
     else:
         t_chan = slope_time(
             chan_step, realify(pipe.channelizer.init_state())
@@ -372,7 +476,8 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
             spectrum_model(pipe.spectrum, block_len), blocks_per_step=K)
 
     total_t = measured_s_per_block if measured_s_per_block else (
-        sum(s["ms_per_block"] for s in stages.values()) / 1e3
+        sum(s["ms_per_block"] for name, s in stages.items()
+            if name != "channelizer_fold") / 1e3  # substage: not additive
     )
     total_flops = 0.0
     total_bytes = 0.0
@@ -385,6 +490,10 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
         models.append(
             ("channelizer",
              channelizer_model(pipe.channelizer.fused, block_len))
+        )
+    elif hasattr(pipe.channelizer.fused, "M"):
+        models.append(
+            ("channelizer", pfb_model(pipe.channelizer.fused, block_len))
         )
     for name, model in models:
         total_flops += model[0]
