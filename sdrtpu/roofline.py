@@ -236,7 +236,17 @@ def slope_time(step, state0, k1: int = 8, k2: int = 96, reps: int = 6) -> float:
     for _ in range(reps):
         for k in (k1, k2):
             best[k] = min(best[k], run_once(k))
-    return max((best[k2] - best[k1]) / (k2 - k1), 1e-9)
+    t = max((best[k2] - best[k1]) / (k2 - k1), 1e-9)
+    # Adaptive widening: if the arm difference is under ~12 ms it is not
+    # safely above the tunnel RTT's multi-ms jitter (a fast stage like
+    # the 8-VFO fold einsum, ~12 us/iter, has only ~1 ms of signal at
+    # k2=96 — one jittery rep can halve or double the reading).  Re-run
+    # ONCE with k2 scaled so the signal is ~20 ms.
+    if t * (k2 - k1) < 0.012:
+        k2w = min(int(k1 + 0.020 / t), 8192)
+        if k2w > 2 * k2:
+            return slope_time(step, state0, k1=k1, k2=k2w, reps=reps)
+    return t
 
 
 def measure_hbm_peak(nbytes: int = 1 << 28) -> float:
@@ -310,7 +320,7 @@ def measure_hbm_peak(nbytes: int = 1 << 28) -> float:
 
 def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
                      measured_s_per_block: float | None = None,
-                     batch_k: int = 32) -> dict:
+                     batch_k: int | None = None) -> dict:
     """Per-stage roofline table for a `WbfmMultiVfoPipeline` block.
 
     Stages are timed at the granularity the batched pipeline actually
@@ -330,7 +340,11 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
     n_af = pipe.audio_resamp.out_len(n_if)
     re = jax.device_put(np.ascontiguousarray(x.real, np.float32))
     im = jax.device_put(np.ascontiguousarray(x.imag, np.float32))
-    K = int(batch_k)
+    # back-end stages are timed at the granularity the steady state
+    # actually runs them (`scan_call`'s sub-window size): a fixed K=32
+    # put the 64-VFO demod on a 25.6M-sample window — past the >4M
+    # batched-window cliff the pipeline itself deliberately avoids
+    K = int(batch_k) if batch_k else pipe._subk(256)
 
     # stage inputs generated once, kept on device in REAL layout (the
     # axon backend cannot transfer complex arrays host<->device, so
