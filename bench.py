@@ -183,7 +183,7 @@ def main():
     # r3 bench-hygiene item).
     msps = max(passes) / 1e6
     result = {
-        "metric": "wbfm_8vfo_iq_throughput_per_chip",
+        "metric": f"wbfm_{n_vfo}vfo_iq_throughput_per_chip",
         "value": round(msps, 2),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / 100.0, 3),

@@ -72,6 +72,7 @@ class RadioChain(StreamOp):
         stereo: bool = True,
         rds: bool = False,
         ctcss_tone: int | None = None,
+        pilot_mode: str = "normalized",
     ):
         info = dict(MODE_INFO[mode])
         if mode == "raw":
@@ -95,12 +96,16 @@ class RadioChain(StreamOp):
             self.ctcss = None
 
         if mode == "wfm":
+            # pilot_mode: "normalized" (analytic pilot, best SNR vs the
+            # oracle) by default for interactive use; "envelope" is the
+            # throughput-optimized exact-algebra variant the flagship
+            # pipeline ships (kernels/wfm.py)
             self.demod = BroadcastFm(
                 deviation=bw / 2.0,
                 samplerate=self.if_rate,
                 stereo=stereo,
                 rds_out=rds,
-                pilot_mode="normalized",
+                pilot_mode=pilot_mode,
             )
         elif mode == "nfm":
             self.demod = Fm(self.if_rate, bw)

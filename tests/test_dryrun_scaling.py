@@ -27,6 +27,19 @@ def test_dryrun_multichip_2():
     ge.dryrun_multichip(2)
 
 
+def test_predict_scaling_shape_and_floor():
+    """The MULTICHIP artifact's scaling prediction (VERDICT r3 #4)."""
+    pred = ge.predict_scaling()
+    assert set(pred["per_n_hosts"]) == {"2", "4", "8"}
+    for rec in pred["per_n_hosts"].values():
+        assert 0 < rec["efficiency_strong"] <= 1.0
+    # inputs must be present so the number is auditable
+    assert pred["inputs"]["measured_ms_per_block"] > 0
+    assert pred["inputs"]["halo_bytes_per_block"] > 0
+    # the BASELINE bar: >=80% at N>=2 hosts
+    assert pred["predicted_scaling_efficiency"] >= 0.8
+
+
 def test_channel_weak_scaling_correctness():
     """Sharded 16-channel run == unsharded, with channel-parallel layout."""
     fs, out_sr = 2_400_000.0, 50000.0
