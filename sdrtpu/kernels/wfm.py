@@ -46,13 +46,13 @@ from .resample import RationalResampler
 from .util import Delay
 
 
-def _segment_mean(r2, seg: int = 2500):
+def _segment_mean(r2, seg: int):
     """Per-segment mean along the last axis, broadcast back to shape.
 
-    ``seg`` = 10 ms at the 250 kHz IF rate: ~380 cycles of the 2*theta
-    (38 kHz) ripple average out, while the pilot amplitude — quasi-static
-    over tens of ms — is tracked per segment.  Rows not divisible by
-    ``seg`` fall back to a whole-row mean.
+    ``seg`` ~ 10 ms of IF samples: ~380 cycles of the 2*theta (38 kHz)
+    ripple average out, while the pilot amplitude — quasi-static over
+    tens of ms — is tracked per segment.  Rows not divisible by ``seg``
+    fall back to a whole-row mean.
     """
     n = r2.shape[-1]
     if n % seg:
@@ -171,7 +171,8 @@ class BroadcastFm(StreamOp):
             # analytic path, exactly (amplitude-normalized like p/|p|).
             st["pilot_fir"], r = self.pilot_fir(state["pilot_fir"], m)
             r2 = r * r
-            c2 = r2 / jnp.maximum(_segment_mean(r2), 1e-12) - 1.0
+            seg = max(1, round(0.01 * self.samplerate))  # ~10 ms
+            c2 = r2 / jnp.maximum(_segment_mean(r2, seg), 1e-12) - 1.0
         else:
             mc = m.astype(jnp.complex64)
             st["pilot_fir"], p = self.pilot_fir(state["pilot_fir"], mc)
