@@ -167,7 +167,11 @@ def spectrum_model(spec, block_len: int) -> tuple[float, float]:
     frames = block_len // spec.interval
     n = spec.fft_size
     flops = fft_flops(n, frames) + 8.0 * frames * n  # window+|.|^2+log
-    bytes_ = frames * n * (8 + 8 + 4) + block_len * 8
+    # input side: extract() SLICES nz samples per frame out of the block
+    # already in HBM (keep/skip framing) — the skipped samples are never
+    # read, so counting the whole block (round 3) over-stated traffic
+    # ~40x at the 64-VFO config (interval 2.5M, nz 65536)
+    bytes_ = frames * n * (8 + 8 + 4) + frames * spec.nz_size * 8
     return flops, bytes_
 
 
