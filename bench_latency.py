@@ -88,21 +88,26 @@ def main():
         med = float(np.median(laps))
 
         # --- pipelined discipline (DEPTH dispatches in flight) -----------
+        # fill the pipe OUTSIDE the timed window, and stop the clock
+        # BEFORE draining the tail: wall/N otherwise amortizes ~DEPTH
+        # serial drain RTTs into the "sustained" figure
         inflight = deque()
         lat = []
+        for _ in range(DEPTH):  # fill
+            rstate, a, p = step(rstate)
+            inflight.append((time.perf_counter(), p))
         t_start = time.perf_counter()
         for i in range(N_BLOCKS):
             rstate, a, p = step(rstate)
             inflight.append((time.perf_counter(), p))
-            if len(inflight) > DEPTH:
-                t_issue, probe = inflight.popleft()
-                float(probe)
-                lat.append(time.perf_counter() - t_issue)
-        while inflight:
             t_issue, probe = inflight.popleft()
             float(probe)
             lat.append(time.perf_counter() - t_issue)
         wall = time.perf_counter() - t_start
+        while inflight:  # drain, untimed
+            t_issue, probe = inflight.popleft()
+            float(probe)
+            lat.append(time.perf_counter() - t_issue)
         sustained_ms = wall / N_BLOCKS * 1e3
         lat = np.array(lat) * 1e3
 
@@ -118,20 +123,21 @@ def main():
         ex = ThreadPoolExecutor(max_workers=T)
         futs = deque()
         tlat = []
+        for _ in range(DEPTH):  # fill, untimed
+            rstate, a, p = step(rstate)
+            futs.append((time.perf_counter(), ex.submit(float, p)))
         t_start = time.perf_counter()
         for i in range(N_BLOCKS):
             rstate, a, p = step(rstate)
-            t_iss = time.perf_counter()
-            futs.append((t_iss, ex.submit(float, p)))
-            if len(futs) > DEPTH:
-                t_i, f = futs.popleft()
-                f.result()
-                tlat.append(time.perf_counter() - t_i)
-        while futs:
+            futs.append((time.perf_counter(), ex.submit(float, p)))
             t_i, f = futs.popleft()
             f.result()
             tlat.append(time.perf_counter() - t_i)
         twall = time.perf_counter() - t_start
+        while futs:  # drain, untimed
+            t_i, f = futs.popleft()
+            f.result()
+            tlat.append(time.perf_counter() - t_i)
         ex.shutdown()
         tsustained_ms = twall / N_BLOCKS * 1e3
         tlat = np.array(tlat) * 1e3

@@ -63,13 +63,34 @@ def channelizer_model(chain, block_len: int) -> tuple[float, float]:
     P, F, R = chain.n_chunks, chain.nfft, chain.ratio
     C, nif = chain.n_channels, chain.nif
     n_if_out = block_len // R
+    c64 = 8.0
+    if getattr(chain, "_sparse", False):
+        # sparse opt-in path: direct nfft-point forward FFT (no
+        # polyphase transpose), gather of Rk live alias rows per channel
+        rk = chain.rk
+        flops = (
+            fft_flops(F, P)                # direct forward FFTs
+            + 8.0 * P * rk * nif * C       # sparse fold
+            + fft_flops(nif, C * P)
+            + 20.0 * C * n_if_out
+        )
+        bytes_ = (
+            block_len * c64
+            + 2 * P * F * c64              # chunk matrix write+read
+            + 2 * P * F * c64              # spectrum X write+read
+            + C * rk * nif * c64           # sparse table read
+            + 2 * C * P * rk * nif * c64   # gathered intermediate w+r
+            + 2 * C * P * nif * c64        # folded spectrum write+read
+            + 2 * C * n_if_out * c64
+            + C * n_if_out * c64
+        )
+        return flops, bytes_
     flops = (
         fft_flops(nif, P * R)              # split forward FFTs (len nif)
         + 8.0 * P * R * nif * C            # alias-fold einsum (cmul+add)
         + fft_flops(nif, C * P)            # per-channel IFFTs
         + 20.0 * C * n_if_out              # residual rotator (sin/cos/cmul)
     )
-    c64 = 8.0
     bytes_ = (
         block_len * c64                    # wideband read
         + 2 * P * F * c64                  # chunk matrix write+read
@@ -135,18 +156,23 @@ def pfb_model(pfb, block_len: int) -> tuple[float, float]:
 
 
 def wfm_model(demod, C: int, n_if: int) -> tuple[float, float]:
-    """(flops, bytes) per block for `BroadcastFm` (normalized pilot)."""
+    """(flops, bytes) per block for `BroadcastFm`, pilot-mode aware."""
     pilot_taps = 317  # 18.75-19.25 kHz bandpass at 250 kHz (bandpass est.)
-    # FFT overlap-save pilot filter: fwd+pointwise+inv per sample
+    envelope = getattr(demod, "pilot_mode", "normalized") == "envelope"
+    # FFT overlap-save pilot filter: fwd+pointwise+inv per sample; the
+    # envelope mode filters a REAL signal with REAL taps (row-pair
+    # packed: half the FFT batch) and replaces the vco normalize with a
+    # segment mean + divide
+    pilot_fft = 15.0 * C * n_if * _flog2(4 * pilot_taps)
     flops = (
         26.0 * C * n_if                    # quadrature discriminator
-        + 15.0 * C * n_if * _flog2(4 * pilot_taps)  # pilot FIR (fft path)
-        + 25.0 * C * n_if                  # vco normalize + L/R decode
+        + (0.5 if envelope else 1.0) * pilot_fft
+        + (8.0 if envelope else 25.0) * C * n_if  # c2 + L/R decode
     )
     c64, f32 = 8.0, 4.0
     bytes_ = (
         C * n_if * c64                     # IF read
-        + 6 * C * n_if * f32               # mpx/pilot/vco intermediates
+        + (4 if envelope else 6) * C * n_if * f32  # mpx/pilot intermediates
         + 2 * C * n_if * 2 * f32           # stereo write (+1 read later)
     )
     return flops, bytes_
@@ -451,9 +477,14 @@ def profile_flagship(pipe, x: np.ndarray, peaks: dict = V5E_PEAKS,
             realify(pipe.channelizer.init_state()),
             pfb_model(chain, block_len))
     else:
-        t_chan = slope_time(
-            chan_step, realify(pipe.channelizer.init_state())
-        )
+        # same shape-stabilization warmup add() performs: resampler-
+        # wrapped fronts broadcast scalar carries to per-phase shapes on
+        # the first call, and the scan carry must already be steady
+        st0 = realify(pipe.channelizer.init_state())
+        st0 = jax.jit(
+            lambda rs: realify(chan_step(complexify(rs), jnp.float32(0))[0])
+        )(st0)
+        t_chan = slope_time(chan_step, st0)
         stages["channelizer"] = {
             "ms_per_block": round(t_chan * 1e3, 4),
             "bound": "unmodeled",

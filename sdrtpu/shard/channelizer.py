@@ -421,24 +421,6 @@ class FftDecimatorChain(StreamOp):
         self._hf_folded = np.ascontiguousarray(
             hf.reshape(self.n_channels, R, self.nif)
         ).astype(np.complex64)
-        # Polyphase-split forward transform (default): instead of one
-        # nfft-point FFT per chunk, split n = q*R + s (Cooley-Tukey) so
-        # only length-nif FFTs run on device:
-        #     F_s[p, k] = FFT_nif(chunk_p[qR + s] over q)
-        #     X[p, r*nif+k] = sum_s e^{-2pi i s(r*nif+k)/nfft} F_s[p, k]
-        # and the alias fold absorbs the outer stage into the table:
-        #     S[c,p,k] = sum_s F[p,s,k] * G[c,s,k],
-        #     G[c,s,k] = (1/R) e^{-2pi i s k/nfft} DFT_R(hf[c,:,k])[s].
-        # Same einsum shape as the direct fold; the length-nif FFT batch
-        # runs ~8.6x faster than the nfft-point batch on v5e (measured
-        # 128 vs 14.8 Gpts/s at the 64-VFO plan, docs/PERF.md round 4).
-        s_idx = np.arange(R, dtype=np.float64)
-        k_idx = np.arange(self.nif, dtype=np.float64)
-        tw = np.exp(-2j * np.pi * np.outer(s_idx, k_idx) / nfft)  # (R, nif)
-        G = np.fft.fft(hf.reshape(self.n_channels, R, self.nif), axis=1)
-        self._g_folded = np.ascontiguousarray(
-            G * tw[None, :, :] / R
-        ).astype(np.complex64)
         # Sparse fold (opt-in): each channel's filter spectrum H(f - f_c)
         # is a narrowband lowpass shifted to f_c — of the R alias rows,
         # only the few crossing its pass/transition band carry energy.
@@ -470,7 +452,30 @@ class FftDecimatorChain(StreamOp):
             self._fold_idx = idx
             self._hf_sparse = hs
             del self._hf_folded  # dense table unused in sparse mode
-            del self._g_folded
+        else:
+            # Polyphase-split forward transform (dense default): instead
+            # of one nfft-point FFT per chunk, split n = q*R + s
+            # (Cooley-Tukey) so only length-nif FFTs run on device:
+            #     F_s[p, k] = FFT_nif(chunk_p[qR + s] over q)
+            #     X[p, r*nif+k] = sum_s e^{-2pi i s(r*nif+k)/nfft} F_s[p,k]
+            # and the alias fold absorbs the outer stage into the table:
+            #     S[c,p,k] = sum_s F[p,s,k] * G[c,s,k],
+            #     G[c,s,k] = (1/R) e^{-2pi i s k/nfft} DFT_R(hf[c,:,k])[s].
+            # Same einsum shape as the direct fold; the length-nif FFT
+            # batch runs ~8.6x faster than the nfft-point batch on v5e
+            # (measured 128 vs 14.8 Gpts/s at the 64-VFO plan,
+            # docs/PERF.md round 4).  The sparse opt-in path keeps the
+            # direct nfft FFT (its gather needs the full X), so G is not
+            # built there.
+            s_idx = np.arange(R, dtype=np.float64)
+            k_idx = np.arange(self.nif, dtype=np.float64)
+            tw = np.exp(-2j * np.pi * np.outer(s_idx, k_idx) / nfft)
+            G = np.fft.fft(
+                hf.reshape(self.n_channels, R, self.nif), axis=1
+            )
+            self._g_folded = np.ascontiguousarray(
+                G * tw[None, :, :] / R
+            ).astype(np.complex64)
         self.rot = MultiVfoMixer(-offsets, samplerate / R, n // R)
         # The taps are modulated over the PADDED index, adding a constant
         # e^{j w' (tpad - t_eq)} that the rotator phase must cancel:
@@ -542,6 +547,36 @@ class FftDecimatorChain(StreamOp):
     def out_len(self, n: int) -> int:
         return n // self.ratio
 
+    def chunk_matrix(self, ext, P: int):
+        """Overlap-save chunks (P, nfft) from the extended input.
+
+        WITHOUT a P-way slice/stack (125 small copies cost ~30% of the
+        whole op): reshape to rows of `valid` and concatenate Q
+        row-shifted views, so chunk p = ext[p*valid : p*valid+nfft]
+        comes from Q unit-stride slices total.
+        """
+        V, F = self.valid, self.nfft
+        Q = -(-F // V)  # rows spanned by one chunk
+        rows_n = P + Q - 1
+        xp = jnp.pad(ext, (0, rows_n * V - ext.shape[-1]))
+        rows = xp.reshape(rows_n, V)
+        return jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(rows, q, P, axis=0) for q in range(Q)],
+            axis=-1,
+        )[:, :F]  # (P, nfft)
+
+    def poly_spectrum(self, chunks):
+        """Polyphase-split forward transform: (P, nfft) -> (P, R, nif).
+
+        Length-nif FFT batch over the chunk polyphase components — the
+        outer Cooley-Tukey stage lives in the fold table G (__init__).
+        Measured ~8.6x faster than the direct nfft-point FFT batch on
+        v5e at the 64-VFO plan shape.
+        """
+        P = chunks.shape[0]
+        cp = chunks.reshape(P, self.nif, self.ratio)
+        return jnp.fft.fft(jnp.swapaxes(cp, -1, -2))
+
     def __call__(self, state, x):
         n = x.shape[-1]
         assert n % self.block_len == 0, (n, self.block_len)
@@ -550,23 +585,12 @@ class FftDecimatorChain(StreamOp):
         x = x.astype(jnp.complex64)
         ext = jnp.concatenate([jnp.asarray(state["tail"]), x])
         new_tail = ext[n:]
-        # Overlapping chunks WITHOUT a P-way slice/stack (125 small copies
-        # cost ~30% of the whole op): reshape to rows of `valid` and
-        # concatenate Q row-shifted views, so chunk p = ext[p*valid :
-        # p*valid+nfft] comes from Q unit-stride slices total.
         # The same plan serves any multiple of block_len — the batched
         # steady-state path (`WbfmMultiVfoPipeline.scan_call`) feeds K
         # blocks as ONE window and P simply scales, keeping the state
         # pytree (tail/hf/rot tables) identical to the per-block program.
-        P, V, F = K * self.n_chunks, self.valid, self.nfft
-        Q = -(-F // V)  # rows spanned by one chunk
-        rows_n = P + Q - 1
-        xp = jnp.pad(ext, (0, rows_n * V - ext.shape[-1]))
-        rows = xp.reshape(rows_n, V)
-        chunks = jnp.concatenate(
-            [jax.lax.dynamic_slice_in_dim(rows, q, P, axis=0) for q in range(Q)],
-            axis=-1,
-        )[:, :F]  # (P, nfft)
+        P = K * self.n_chunks
+        chunks = self.chunk_matrix(ext, P)
         hf = jnp.asarray(state["hf"])
         if self._sparse:
             X = jnp.fft.fft(chunks)
@@ -577,11 +601,7 @@ class FftDecimatorChain(StreamOp):
             Xg = Xr[:, idx, :]  # (P, C, Rk, nif)
             S = jnp.einsum("pcrk,crk->cpk", Xg, hf) / self.ratio
         else:
-            # polyphase-split forward transform: length-nif FFT batch +
-            # twiddle-folded fold table G (see __init__) — ~8.6x faster
-            # than the direct nfft-point FFT batch on v5e
-            cp = chunks.reshape(P, self.nif, self.ratio)
-            Fp = jnp.fft.fft(jnp.swapaxes(cp, -1, -2))  # (P, R, nif)
+            Fp = self.poly_spectrum(chunks)  # (P, R, nif)
             S = jnp.einsum("psk,csk->cpk", Fp, hf)  # 1/R folded into G
         y = jnp.fft.ifft(S)  # (C, P, nif) — C local under shard_map
         m0 = (self.tpad - 1) // self.ratio

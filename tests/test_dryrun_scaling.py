@@ -28,8 +28,13 @@ def test_dryrun_multichip_2():
 
 
 def test_predict_scaling_shape_and_floor():
-    """The MULTICHIP artifact's scaling prediction (VERDICT r3 #4)."""
-    pred = ge.predict_scaling()
+    """The MULTICHIP artifact's scaling prediction (VERDICT r3 #4).
+
+    The measured time is passed explicitly (the round-4 bench figure) so
+    the assertion does not depend on an ambient SDRTPU_MEASURED_MS_PER_
+    BLOCK override in the environment.
+    """
+    pred = ge.predict_scaling(measured_ms_per_block=0.0914)
     assert set(pred["per_n_hosts"]) == {"2", "4", "8"}
     for rec in pred["per_n_hosts"].values():
         assert 0 < rec["efficiency_strong"] <= 1.0
