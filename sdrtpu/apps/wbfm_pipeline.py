@@ -250,8 +250,13 @@ class WbfmMultiVfoPipeline(StreamOp):
 
     def _subk(self, K: int) -> int:
         env = os.environ.get("SDRTPU_SUBK")
+        # FLOOR, not round: the ~4M-sample window optimum is a ceiling
+        # (the chunk-matrix cliff), so a block that alone approaches it
+        # must run sub=1 — at the 64-VFO 2.5M-block config, rounding up
+        # to sub=2 (5M windows) cost 25% end to end (4707 -> 3600 Msps,
+        # round-4 composed-prefix measurement in docs/PERF.md).
         want = (int(env) if env
-                else max(1, round(self.SUB_SAMPLES / self.block_len)))
+                else max(1, int(self.SUB_SAMPLES // self.block_len)))
         sub = min(K, max(1, want))
         while K % sub:
             sub -= 1
