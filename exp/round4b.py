@@ -114,13 +114,6 @@ def main():
     t2 = slope_time(step_dir, jnp.float32(0))
     log(f"  chunk build direct (R,P,nif)                  {t2*1e3:8.4f} ms")
 
-    # correctness of direct build
-    x = (rng.standard_normal(n + tpad - 1)
-         + 1j * rng.standard_normal(n + tpad - 1)).astype(np.complex64)
-    a = np.asarray(jax.jit(build_current)(jnp.asarray(x.real) + 1j * jnp.asarray(x.imag)))
-    b = np.asarray(jax.jit(build_direct)(jnp.asarray(x.real) + 1j * jnp.asarray(x.imag)))
-    print("direct == current:", np.array_equal(a, np.swapaxes(b, 0, 1)))
-
     # combined: build + fft over q
     def full_cur(x):
         return jnp.fft.fft(build_current(x))

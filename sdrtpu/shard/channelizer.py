@@ -476,6 +476,32 @@ class FftDecimatorChain(StreamOp):
             self._g_folded = np.ascontiguousarray(
                 G * tw[None, :, :] / R
             ).astype(np.complex64)
+        # Pallas one-pass chunk builder: replaces the XLA chunk concat +
+        # the FFT's input transpose copy with a single read+write kernel.
+        # Plan-size gated from measurement (docs/PERF.md round 4): WINS
+        # at large alias counts (64-VFO, R=200: 4719 -> 5182 Msps; the
+        # (100, R) tiles amortize the grid) and LOSES at small ones
+        # (8-VFO, R=40: 5476 -> 3919 — 1000 tiny grid steps/window), so
+        # auto-on only for R >= 128 on TPU devices.  SDRTPU_PALLAS_CHUNKS
+        # = "1"/"0" force-enables/disables.
+        import os as _os
+
+        from ..kernels.pallas_chunks import chunk_poly_supported
+
+        _env = _os.environ.get("SDRTPU_PALLAS_CHUNKS")
+        if _env == "1":
+            want_pallas = True
+        elif _env == "0":
+            want_pallas = False
+        else:
+            try:
+                on_tpu = "tpu" in jax.devices()[0].device_kind.lower()
+            except Exception:  # pragma: no cover - backend init failures
+                on_tpu = False
+            want_pallas = on_tpu and R >= 128
+        self._pallas_chunks = want_pallas and chunk_poly_supported(
+            valid, R, self.nif
+        )
         self.rot = MultiVfoMixer(-offsets, samplerate / R, n // R)
         # The taps are modulated over the PADDED index, adding a constant
         # e^{j w' (tpad - t_eq)} that the rotator phase must cancel:
@@ -590,10 +616,9 @@ class FftDecimatorChain(StreamOp):
         # blocks as ONE window and P simply scales, keeping the state
         # pytree (tail/hf/rot tables) identical to the per-block program.
         P = K * self.n_chunks
-        chunks = self.chunk_matrix(ext, P)
         hf = jnp.asarray(state["hf"])
         if self._sparse:
-            X = jnp.fft.fft(chunks)
+            X = jnp.fft.fft(self.chunk_matrix(ext, P))
             Xr = X.reshape(P, self.ratio, self.nif)
             # gather each channel's live alias rows, multiply-reduce over
             # them: (P, C, Rk, nif) x (C, Rk, nif) -> (C, P, nif)
@@ -601,7 +626,16 @@ class FftDecimatorChain(StreamOp):
             Xg = Xr[:, idx, :]  # (P, C, Rk, nif)
             S = jnp.einsum("pcrk,crk->cpk", Xg, hf) / self.ratio
         else:
-            Fp = self.poly_spectrum(chunks)  # (P, R, nif)
+            if self._pallas_chunks:
+                from ..kernels.pallas_chunks import chunk_poly
+
+                o_re, o_im = chunk_poly(
+                    jnp.real(ext), jnp.imag(ext), valid=self.valid,
+                    ratio=self.ratio, nif=self.nif, n_chunks=P,
+                )
+                Fp = jnp.fft.fft(jax.lax.complex(o_re, o_im))
+            else:
+                Fp = self.poly_spectrum(self.chunk_matrix(ext, P))
             S = jnp.einsum("psk,csk->cpk", Fp, hf)  # 1/R folded into G
         y = jnp.fft.ifft(S)  # (C, P, nif) — C local under shard_map
         m0 = (self.tpad - 1) // self.ratio
