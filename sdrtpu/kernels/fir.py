@@ -156,6 +156,70 @@ def correlate_valid_bank(x, taps_bank, stride: int = 1, live=None) -> jax.Array:
     return acc
 
 
+def matmul_correlate_valid(x: jax.Array, taps, block: int = 128) -> jax.Array:
+    """`correlate_valid` (stride 1) as banded-Toeplitz MXU matmuls.
+
+    ``y[a*M + i] = sum_j ext[a*M + j] * taps[j - i]`` for ``i < M`` and
+    ``j < R*M`` (R = 1 + ceil((T-1)/M)): reshape the input into (rows, M)
+    and contract R shifted unit-stride row views against the R row-blocks
+    of the host-built banded-Toeplitz tap matrix ``H[j, i] = taps[j-i]``
+    — the same no-concat shifted-matmul scheme as the polyphase
+    resampler.  Cost: R*M MACs per output on the MXU (vs T on the VPU
+    for the unroll, vs ~5*log2(nfft)*(nfft/valid) for FFT overlap-save);
+    input read R times, no frame materialization.  Crossovers measured
+    on v5e in exp/demod64.py (round 4c).
+
+    Real taps filter complex/real x per plane; complex taps contract
+    real/imag tap planes separately (4 real matmuls on a complex input).
+    """
+    taps = np.asarray(taps)
+    T = int(taps.shape[0])
+    M = int(block)
+    L = int(x.shape[-1])
+    span = L - T + 1
+    assert span >= 1
+    R = 1 + -(-(T - 1) // M) if T > 1 else 1
+    A = -(-span // M)
+    rows = A + R - 1
+    # H[j, i] = taps[j - i], 0 <= j - i < T  (j < R*M, i < M)
+    j_idx = np.arange(R * M)[:, None]
+    i_idx = np.arange(M)[None, :]
+    d = j_idx - i_idx
+    Hfull = np.where((d >= 0) & (d < T), taps[np.clip(d, 0, T - 1)], 0)
+
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, rows * M - L)]
+    xp = jnp.pad(x, pad)
+    xr = xp.reshape(x.shape[:-1] + (rows, M))
+
+    def contract(planes, H):
+        accs = [None] * len(planes)
+        for q in range(R):
+            Hq = jnp.asarray(H[q * M : (q + 1) * M].astype(np.float32))
+            for i, p in enumerate(planes):
+                blk = jax.lax.dynamic_slice_in_dim(p, q, A, axis=-2)
+                term = jnp.einsum("...am,mi->...ai", blk, Hq)
+                accs[i] = term if accs[i] is None else accs[i] + term
+        return accs
+
+    complex_in = jnp.iscomplexobj(x)
+    if not np.iscomplexobj(taps):
+        if complex_in:
+            yr, yi = contract((xr.real, xr.imag), Hfull)
+            y = jax.lax.complex(yr, yi)
+        else:
+            (y,) = contract((xr,), Hfull)
+    else:
+        if complex_in:
+            ar, ai = contract((xr.real, xr.imag), Hfull.real)
+            br, bi = contract((xr.real, xr.imag), Hfull.imag)
+            y = jax.lax.complex(ar - bi, ai + br)
+        else:
+            yr, yi = contract((xr,), Hfull.real) + contract((xr,), Hfull.imag)
+            y = jax.lax.complex(yr, yi)
+    y = y.reshape(x.shape[:-1] + (A * M,))[..., :span]
+    return y
+
+
 def _next_fft_len(n: int) -> int:
     """Smallest 2^a (a>=4) >= n — XLA's fastest TPU FFT sizes."""
     m = 16
@@ -287,8 +351,9 @@ class Fir(StreamOp):
     output of a fresh stream corresponds to a zero-filled history.
 
     ``method``: "direct" (shift-and-add), "fft" (overlap-save circular
-    convolution), or "auto" (fft for >=128 taps — the crossover measured
-    on TPU v5e; direct below).
+    convolution), "mm" (banded-Toeplitz MXU matmuls,
+    `matmul_correlate_valid`), or "auto" (fft for >=128 taps — the
+    crossover measured on TPU v5e; direct below).
     """
 
     _FFT_MIN_TAPS = 128
@@ -298,7 +363,7 @@ class Fir(StreamOp):
         self.taps = taps  # host numpy: captured as an XLA constant at trace
         self.ntaps = int(taps.shape[0])
         self.dtype = dtype
-        assert method in ("auto", "direct", "fft")
+        assert method in ("auto", "direct", "fft", "mm")
         if method == "auto":
             method = "fft" if self.ntaps >= self._FFT_MIN_TAPS else "direct"
         self.method = method
@@ -320,6 +385,9 @@ class Fir(StreamOp):
         ext = jnp.concatenate([state, x], axis=-1)
         if self.method == "fft":
             y = fft_correlate_valid(ext, self.taps)
+            y = y.astype(self.dtype) if not jnp.iscomplexobj(y) else y
+        elif self.method == "mm":
+            y = matmul_correlate_valid(ext, self.taps)
             y = y.astype(self.dtype) if not jnp.iscomplexobj(y) else y
         else:
             y = correlate_valid(ext, self.taps)

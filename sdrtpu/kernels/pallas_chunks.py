@@ -26,6 +26,25 @@ holds for every plan `_plan_fft_chunks` emits at its defaults (nfft
 tight against valid + t_eq - 1 implies valid >= R*nif/ (overlap factor)
 > R*nif/2).  Callers must check `chunk_poly_supported` first.
 
+Grouping (round 4c, VERDICT-r3 headroom item): at small-R plans (8-VFO,
+R=40, nif=128) the per-chunk tile is only 5120 elements and a
+1000-step grid loses to XLA (measured 5476 -> 3919 Msps end to end).
+``group=G`` emits G chunks per grid step — the two input blocks become
+(G*Vr, R) and the output tile (G, R, nif) — so the tile size is
+G*R*nif and the grid shrinks G-fold.  Chunk j of a group needs window
+rows [j*Vr, j*Vr + nif) relative to its block start; the furthest row
+is (G-1)*Vr + nif <= 2*G*Vr whenever nif <= 2*Vr, so the same support
+condition covers every G >= 1.  `choose_group` picks G per plan.
+
+Measured at the 8-VFO plan (R=40, P=1000, exp/chunks8.py round 4c):
+G=1 0.553, G=5 0.376, G=25 0.372 ms/window vs XLA 0.285 — grouping
+removes the grid overhead (G=5 == G=25) but the kernel still loses
+~30%: with R=40 in the lane (minor) dimension every input tile wastes
+~70% of each 128-lane vector, a layout cost grouping cannot fix.  The
+auto gate therefore stays R >= 128 (64-VFO-class plans, where the
+kernel wins 4719 -> 5186 Msps); grouped mode remains available for
+forced-on use and for future plans with R in [64, 128).
+
 Planar f32 throughout (Mosaic has no complex); both planes ride one
 kernel launch.
 """
@@ -49,42 +68,67 @@ def chunk_poly_supported(valid: int, ratio: int, nif: int) -> bool:
     return nif <= 2 * vr
 
 
-def _kernel(nif, a_re, a_im, b_re, b_im, o_re, o_im):
-    # a = rows3[p] (Vr, R), b = rows3[p+1] (Vr, R); chunk rows = first
-    # nif of [a; b]; output tile = their transpose (R, nif)
-    win_re = jnp.concatenate([a_re[:], b_re[:]], axis=0)[:nif]
-    win_im = jnp.concatenate([a_im[:], b_im[:]], axis=0)[:nif]
-    o_re[:] = win_re.T
-    o_im[:] = win_im.T
+# Tile-size targets for `choose_group` (elements per output tile / per
+# input window plane), from the round-4 measurements: the 64-VFO
+# (R=200, nif=128, 25600-element) tile amortizes the grid fine, while
+# the 8-VFO 5120-element tile at G=1 loses.
+_TILE_TARGET = 20_000
+_WINDOW_MAX = 300_000
 
 
-@functools.partial(jax.jit, static_argnames=("valid", "ratio", "nif", "n_chunks", "interpret"))
+def choose_group(n_chunks_per_block: int, valid: int, ratio: int,
+                 nif: int) -> int:
+    """Pick chunks-per-grid-step: smallest divisor of the PER-BLOCK chunk
+    count whose output tile reaches ``_TILE_TARGET`` elements (so any
+    runtime multiple P = K*n_chunks stays divisible), capped by the VMEM
+    window bound.  Returns 1 when no larger divisor helps/fits."""
+    vr = valid // ratio
+    best = 1
+    for g in range(1, n_chunks_per_block + 1):
+        if n_chunks_per_block % g:
+            continue
+        if 2 * g * vr * ratio > _WINDOW_MAX:
+            break
+        best = g
+        if g * ratio * nif >= _TILE_TARGET:
+            break
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "valid", "ratio", "nif", "n_chunks", "group", "interpret"))
 def chunk_poly(ext_re, ext_im, *, valid: int, ratio: int, nif: int,
-               n_chunks: int, interpret: bool = False):
+               n_chunks: int, group: int = 1, interpret: bool = False):
     """ext planes (L,) -> ct planes (P, R, nif), ct[p,s,q]=ext[pV+qR+s]."""
-    P, R = int(n_chunks), int(ratio)
+    P, R, G = int(n_chunks), int(ratio), int(group)
     vr = valid // R
     assert nif <= 2 * vr, (nif, vr)
-    rows_needed = (P + 1) * vr  # block p uses rows3[p] and rows3[p+1]
+    assert P % G == 0, (P, G)
+    nblk = P // G
+    # grid step g covers chunks [g*G, (g+1)*G); chunk j of the group
+    # reads window rows [j*vr, j*vr + nif) past the block start, so the
+    # halo block g+1 suffices: (G-1)*vr + nif <= 2*G*vr given nif<=2*vr
+    rows_needed = (nblk + 1) * G * vr
     pad = rows_needed * R - ext_re.shape[-1]
     assert pad >= 0
-    rows3_re = jnp.pad(ext_re, (0, pad)).reshape(P + 1, vr, R)
-    rows3_im = jnp.pad(ext_im, (0, pad)).reshape(P + 1, vr, R)
+    rows3_re = jnp.pad(ext_re, (0, pad)).reshape(nblk + 1, G * vr, R)
+    rows3_im = jnp.pad(ext_im, (0, pad)).reshape(nblk + 1, G * vr, R)
 
-    blk_in = pl.BlockSpec((1, vr, R), lambda p, a=0: (p, 0, 0))
-    blk_in2 = pl.BlockSpec((1, vr, R), lambda p: (p + 1, 0, 0))
-    blk_out = pl.BlockSpec((1, R, nif), lambda p: (p, 0, 0))
+    blk_in = pl.BlockSpec((1, G * vr, R), lambda g: (g, 0, 0))
+    blk_in2 = pl.BlockSpec((1, G * vr, R), lambda g: (g + 1, 0, 0))
+    blk_out = pl.BlockSpec((G, R, nif), lambda g: (g, 0, 0))
 
     def kern(a_re, a_im, b_re, b_im, o_re, o_im):
-        win_re = jnp.concatenate([a_re[0], b_re[0]], axis=0)[:nif]
-        win_im = jnp.concatenate([a_im[0], b_im[0]], axis=0)[:nif]
-        o_re[0] = win_re.T
-        o_im[0] = win_im.T
+        win_re = jnp.concatenate([a_re[0], b_re[0]], axis=0)
+        win_im = jnp.concatenate([a_im[0], b_im[0]], axis=0)
+        for j in range(G):
+            o_re[j] = win_re[j * vr : j * vr + nif].T
+            o_im[j] = win_im[j * vr : j * vr + nif].T
 
     out_shape = [jax.ShapeDtypeStruct((P, R, nif), jnp.float32)] * 2
     o_re, o_im = pl.pallas_call(
         kern,
-        grid=(P,),
+        grid=(nblk,),
         in_specs=[blk_in, blk_in, blk_in2, blk_in2],
         out_specs=[blk_out, blk_out],
         out_shape=out_shape,

@@ -143,13 +143,18 @@ class PolyphaseResampler(StreamOp):
 
     Methods:
 
-    - ``"matmul"`` (default for interp*tpp > MATMUL_MIN): one MXU matmul.
-      Frame matrix ``F[a, j] = ext[a*decim + j]`` (built from R unit-stride
-      row slices of the polyphase layout, no gathers) times a host-built
-      window matrix ``G[j, b] = bank[p_b, t]`` at ``j = off_b + t`` gives
-      all ``interp`` phase columns of output group ``a`` in one contraction
-      — interp*tpp multiply-adds per output land on the MXU instead of
-      interp*tpp separate VPU AXPYs.
+    - ``"matmul"`` (default for interp*tpp > MATMUL_MIN): MXU matmuls.
+      Conceptually the frame matrix ``F[a, j] = ext[a*decim + j]`` times a
+      host-built window matrix ``G[j, b] = bank[p_b, t]`` at ``j = off_b +
+      t`` gives all ``interp`` phase columns of output group ``a`` in one
+      contraction — interp*tpp multiply-adds per output land on the MXU
+      instead of interp*tpp separate VPU AXPYs.  Evaluated WITHOUT
+      materializing F: split over the R row-blocks of G, ``y = sum_q
+      rows[a+q, :] @ G[q*M:(q+1)*M]`` — R matmuls on shifted unit-stride
+      views of the SAME (rows, M) reshape, so the input is read R times
+      but the (A, R*M) frame concat (bigger than the input by ~R) is
+      never written.  Measured 20% faster than the concat form at the
+      WFM audio shape on v5e (exp/demod64.py, round 4c).
     - ``"unrolled"`` — interp*tpp shift-and-add AXPYs (best for small
       banks where the frame-matrix build would dominate).
     - ``"gather"`` — frame gather + einsum, kept as a debugging fallback.
@@ -214,21 +219,26 @@ class PolyphaseResampler(StreamOp):
                 ext, [(0, 0)] * (ext.ndim - 1) + [(0, rows * M - ext.shape[-1])]
             )
             xr = xp.reshape(ext.shape[:-1] + (rows, M))
-            # F[..., a, :] = ext[a*M : a*M + R*M] from R unit-stride slices
-            F = jnp.concatenate(
-                [
-                    jax.lax.dynamic_slice_in_dim(xr, q, A, axis=-2)
-                    for q in range(R)
-                ],
-                axis=-1,
-            )  # (..., A, R*M)
             G = jnp.asarray(self._G)
+
+            def contract(planes):
+                # y[..., a, b] = sum_q rows[a+q, :] @ G[q*M:(q+1)*M, b] —
+                # the frame-matrix contraction without materializing the
+                # (A, R*M) concat (see class docstring)
+                accs = [None] * len(planes)
+                for q in range(R):
+                    Gq = G[q * M : (q + 1) * M]
+                    for i, p in enumerate(planes):
+                        blk = jax.lax.dynamic_slice_in_dim(p, q, A, axis=-2)
+                        term = jnp.einsum("...am,mb->...ab", blk, Gq)
+                        accs[i] = term if accs[i] is None else accs[i] + term
+                return accs
+
             if jnp.iscomplexobj(ext):
-                yr = jnp.einsum("...aw,wb->...ab", F.real, G)
-                yi = jnp.einsum("...aw,wb->...ab", F.imag, G)
+                yr, yi = contract((xr.real, xr.imag))
                 y = jax.lax.complex(yr, yi)
             else:
-                y = jnp.einsum("...aw,wb->...ab", F, G)
+                (y,) = contract((xr,))
             y = y.reshape(ext.shape[:-1] + (n_out,)).astype(ext.dtype)
         elif self.method == "unrolled":
             A = n_out // L

@@ -486,8 +486,14 @@ class FftDecimatorChain(StreamOp):
         # = "1"/"0" force-enables/disables.
         import os as _os
 
-        from ..kernels.pallas_chunks import chunk_poly_supported
+        from ..kernels.pallas_chunks import choose_group, chunk_poly_supported
 
+        # Small-R plans group several chunks per grid step so the tile
+        # amortizes the grid (kernels/pallas_chunks.py `choose_group`).
+        # Round-4c measurement: grouping removes the 8-VFO plan's grid
+        # overhead but its R=40 lane padding still loses ~30% to XLA, so
+        # the auto gate stays R >= 128 (see the kernel docstring).
+        self._pallas_group = choose_group(self.n_chunks, valid, R, self.nif)
         _env = _os.environ.get("SDRTPU_PALLAS_CHUNKS")
         if _env == "1":
             want_pallas = True
@@ -632,6 +638,7 @@ class FftDecimatorChain(StreamOp):
                 o_re, o_im = chunk_poly(
                     jnp.real(ext), jnp.imag(ext), valid=self.valid,
                     ratio=self.ratio, nif=self.nif, n_chunks=P,
+                    group=self._pallas_group,
                 )
                 Fp = jnp.fft.fft(jax.lax.complex(o_re, o_im))
             else:

@@ -164,3 +164,67 @@ class TestFftFir:
         np.testing.assert_allclose(
             np.concatenate(parts, axis=-1), np.asarray(full), atol=3e-3
         )
+
+
+class TestMatmulFir:
+    """Banded-Toeplitz MXU formulation (`matmul_correlate_valid`)."""
+
+    def test_mm_matches_direct_real(self):
+        rng = np.random.default_rng(6)
+        taps = rng.standard_normal(60).astype(np.float32)
+        x = rng.standard_normal((2, 8, 2400)).astype(np.float32)
+        from sdrtpu.kernels.fir import Fir
+
+        fd = Fir(taps, dtype=jnp.float32, method="direct")
+        fm = Fir(taps, dtype=jnp.float32, method="mm")
+        sd, yd = fd(fd.init_state(), jnp.asarray(x))
+        sm, ym = fm(fm.init_state(), jnp.asarray(x))
+        assert ym.dtype == yd.dtype
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(yd), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(sm), np.asarray(sd), atol=1e-6)
+
+    def test_mm_matches_direct_complex_signal_real_taps(self):
+        rng = np.random.default_rng(7)
+        taps = rng.standard_normal(317).astype(np.float32)
+        x = (rng.standard_normal((4, 2048)) + 1j * rng.standard_normal((4, 2048))).astype(np.complex64)
+        from sdrtpu.kernels.fir import Fir
+
+        fd = Fir(taps, dtype=jnp.complex64, method="direct")
+        fm = Fir(taps, dtype=jnp.complex64, method="mm")
+        sd, yd = fd(fd.init_state(), jnp.asarray(x))
+        sm, ym = fm(fm.init_state(), jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(yd), atol=2e-3)
+
+    def test_mm_matches_direct_complex_taps(self):
+        rng = np.random.default_rng(8)
+        taps = (rng.standard_normal(150) + 1j * rng.standard_normal(150)).astype(np.complex64)
+        x = (rng.standard_normal((3, 1500)) + 1j * rng.standard_normal((3, 1500))).astype(np.complex64)
+        from sdrtpu.kernels.fir import Fir
+
+        fd = Fir(taps, dtype=jnp.complex64, method="direct")
+        fm = Fir(taps, dtype=jnp.complex64, method="mm")
+        sd, yd = fd(fd.init_state(), jnp.asarray(x))
+        sm, ym = fm(fm.init_state(), jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(yd), atol=5e-3)
+
+    def test_mm_complex_taps_real_signal(self):
+        rng = np.random.default_rng(9)
+        taps = (rng.standard_normal(90) + 1j * rng.standard_normal(90)).astype(np.complex64)
+        x = rng.standard_normal((2, 1000)).astype(np.float32)
+        from sdrtpu.kernels.fir import correlate_valid, matmul_correlate_valid
+
+        yd = correlate_valid(jnp.asarray(x), taps)
+        ym = matmul_correlate_valid(jnp.asarray(x), taps)
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(yd), atol=2e-3)
+
+    def test_mm_short_signal_and_odd_span(self):
+        # span not a multiple of the 128 block: trim path
+        rng = np.random.default_rng(10)
+        taps = rng.standard_normal(33).astype(np.float32)
+        x = rng.standard_normal(200).astype(np.float32)
+        from sdrtpu.kernels.fir import correlate_valid, matmul_correlate_valid
+
+        yd = correlate_valid(jnp.asarray(x), taps)
+        ym = matmul_correlate_valid(jnp.asarray(x), taps)
+        assert ym.shape == yd.shape
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(yd), atol=1e-4)
