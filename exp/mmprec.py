@@ -38,7 +38,8 @@ def bench_case(name, x_np, taps, ref64):
         e = np.max(np.abs(y - ref64)) / np.max(np.abs(ref64))
         return e
 
-    for prec_name, prec in (("default", None), ("highest", "highest")):
+    for prec_name, prec in (("default", None), ("high", "high"),
+                            ("highest", "highest")):
         ctx = (jax.default_matmul_precision(prec)
                if prec else _null())
         with ctx:
@@ -79,12 +80,13 @@ def main():
                                             250000.0, odd_tap_count=True))
     T = len(ptaps)
     x = rng.standard_normal((64, 12500 + T - 1)).astype(np.float32)
+    # np.correlate(a, v)[k] = sum_t a[k+t]*v[t] — same orientation as
+    # correlate_valid; no flip
     ref = np.stack([
-        np.correlate(row.astype(np.float64), ptaps[::-1].astype(np.float64),
-                     mode="valid")[::1]
+        np.correlate(row.astype(np.float64), ptaps.astype(np.float64),
+                     mode="valid")
         for row in x
     ])
-    # np.correlate(a, v) flips v; correlate_valid does NOT -> use v[::-1]
     log(f"pilot taps T={T}")
     bench_case("pilot(64,12.5k)", x, ptaps, ref)
 
@@ -98,7 +100,7 @@ def main():
     ref2 = np.stack([
         np.stack([
             np.correlate(row.astype(np.float64),
-                         dtaps[::-1].astype(np.float64), mode="valid")
+                         dtaps.astype(np.float64), mode="valid")
             for row in ch
         ]) for ch in x2
     ])

@@ -156,7 +156,8 @@ def correlate_valid_bank(x, taps_bank, stride: int = 1, live=None) -> jax.Array:
     return acc
 
 
-def matmul_correlate_valid(x: jax.Array, taps, block: int = 128) -> jax.Array:
+def matmul_correlate_valid(x: jax.Array, taps, block: int = 128,
+                           precision: str = "highest") -> jax.Array:
     """`correlate_valid` (stride 1) as banded-Toeplitz MXU matmuls.
 
     ``y[a*M + i] = sum_j ext[a*M + j] * taps[j - i]`` for ``i < M`` and
@@ -171,6 +172,15 @@ def matmul_correlate_valid(x: jax.Array, taps, block: int = 128) -> jax.Array:
 
     Real taps filter complex/real x per plane; complex taps contract
     real/imag tap planes separately (4 real matmuls on a complex input).
+
+    ``precision``: MXU pass count for the f32 contraction.  TPU einsum
+    DEFAULT runs f32 as ONE bf16 pass — measured relative error ~2-4e-3
+    (~-50 dB), enough to break demod SINAD floors; "high" (bf16x3) gives
+    ~1.4e-5 (~-95 dB) and "highest" (bf16x6) full f32 accuracy ~2e-7,
+    better than the FFT path (exp/mmprec.py, v5e round 4c).  Costs at
+    the WFM pilot shape: 0.0145/0.0226/0.0352 ms vs 0.0735 FFT — even
+    "highest" wins 2x.  Default "highest"; pass "high" where a ~-95 dB
+    noise floor is provably below the consumer's quality floor.
     """
     taps = np.asarray(taps)
     T = int(taps.shape[0])
@@ -191,13 +201,15 @@ def matmul_correlate_valid(x: jax.Array, taps, block: int = 128) -> jax.Array:
     xp = jnp.pad(x, pad)
     xr = xp.reshape(x.shape[:-1] + (rows, M))
 
+    prec = jax.lax.Precision(precision)
+
     def contract(planes, H):
         accs = [None] * len(planes)
         for q in range(R):
             Hq = jnp.asarray(H[q * M : (q + 1) * M].astype(np.float32))
             for i, p in enumerate(planes):
                 blk = jax.lax.dynamic_slice_in_dim(p, q, A, axis=-2)
-                term = jnp.einsum("...am,mi->...ai", blk, Hq)
+                term = jnp.einsum("...am,mi->...ai", blk, Hq, precision=prec)
                 accs[i] = term if accs[i] is None else accs[i] + term
         return accs
 
@@ -358,7 +370,8 @@ class Fir(StreamOp):
 
     _FFT_MIN_TAPS = 128
 
-    def __init__(self, taps: np.ndarray, dtype=jnp.complex64, method: str = "auto"):
+    def __init__(self, taps: np.ndarray, dtype=jnp.complex64, method: str = "auto",
+                 mm_precision: str = "highest"):
         taps = np.asarray(taps)
         self.taps = taps  # host numpy: captured as an XLA constant at trace
         self.ntaps = int(taps.shape[0])
@@ -367,6 +380,7 @@ class Fir(StreamOp):
         if method == "auto":
             method = "fft" if self.ntaps >= self._FFT_MIN_TAPS else "direct"
         self.method = method
+        self.mm_precision = mm_precision
 
     def init_state(self):
         # Host numpy: complex arrays must not cross the host<->device
@@ -387,7 +401,8 @@ class Fir(StreamOp):
             y = fft_correlate_valid(ext, self.taps)
             y = y.astype(self.dtype) if not jnp.iscomplexobj(y) else y
         elif self.method == "mm":
-            y = matmul_correlate_valid(ext, self.taps)
+            y = matmul_correlate_valid(ext, self.taps,
+                                       precision=self.mm_precision)
             y = y.astype(self.dtype) if not jnp.iscomplexobj(y) else y
         else:
             y = correlate_valid(ext, self.taps)

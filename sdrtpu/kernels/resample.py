@@ -221,6 +221,12 @@ class PolyphaseResampler(StreamOp):
             xr = xp.reshape(ext.shape[:-1] + (rows, M))
             G = jnp.asarray(self._G)
 
+            # bf16x3 passes: TPU einsum DEFAULT does f32 as ONE bf16
+            # pass (~-50 dB contraction noise — audible in a resampled
+            # audio stream); "high" holds it at ~-95 dB, below every
+            # demod SINAD floor (exp/mmprec.py, round 4c)
+            prec = jax.lax.Precision("high")
+
             def contract(planes):
                 # y[..., a, b] = sum_q rows[a+q, :] @ G[q*M:(q+1)*M, b] —
                 # the frame-matrix contraction without materializing the
@@ -230,7 +236,9 @@ class PolyphaseResampler(StreamOp):
                     Gq = G[q * M : (q + 1) * M]
                     for i, p in enumerate(planes):
                         blk = jax.lax.dynamic_slice_in_dim(p, q, A, axis=-2)
-                        term = jnp.einsum("...am,mb->...ab", blk, Gq)
+                        term = jnp.einsum(
+                            "...am,mb->...ab", blk, Gq, precision=prec
+                        )
                         accs[i] = term if accs[i] is None else accs[i] + term
                 return accs
 

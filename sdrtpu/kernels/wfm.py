@@ -92,9 +92,16 @@ class BroadcastFm(StreamOp):
         )
         if pilot_mode == "envelope":
             # real bandpass = 2*Re(analytic bandpass): same length, same
-            # group delay, half the FFT batch (real-packed overlap-save)
+            # group delay.  Evaluated as banded-Toeplitz MXU matmuls
+            # (method="mm"): 5.4x faster than FFT overlap-save at the
+            # flagship shape (0.015 vs 0.082 ms/block, exp/demod64.py
+            # round 4c).  bf16x3 passes put the contraction noise at
+            # ~-95 dB — 40+ dB below the envelope mode's own 53 dB
+            # algebraic parity bound, so "high" is free accuracy-wise
+            # and 1.6x faster than the exact "highest".
             self.pilot_fir = Fir(
-                2.0 * np.real(pilot_taps), dtype=jnp.float32
+                2.0 * np.real(pilot_taps), dtype=jnp.float32,
+                method="mm", mm_precision="high",
             )
         else:
             self.pilot_fir = Fir(pilot_taps, dtype=jnp.complex64)

@@ -91,10 +91,19 @@ def channelizer_model(chain, block_len: int) -> tuple[float, float]:
         + fft_flops(nif, C * P)            # per-channel IFFTs
         + 20.0 * C * n_if_out              # residual rotator (sin/cos/cmul)
     )
+    if getattr(chain, "_pallas_chunks", False):
+        # one-pass Pallas builder: ext read once, (P, R, nif) tile
+        # written once — no separate chunk-matrix or transpose round
+        # trips (kernels/pallas_chunks.py)
+        front_bytes = block_len * c64 + P * F * c64
+    else:
+        front_bytes = (
+            block_len * c64                # wideband read
+            + 2 * P * F * c64              # chunk matrix write+read
+            + 2 * P * F * c64              # polyphase transpose write+read
+        )
     bytes_ = (
-        block_len * c64                    # wideband read
-        + 2 * P * F * c64                  # chunk matrix write+read
-        + 2 * P * F * c64                  # polyphase transpose write+read
+        front_bytes
         + 2 * P * F * c64                  # spectrum F write+read
         + C * R * nif * c64                # folded filter table read
         + 2 * C * P * nif * c64            # folded spectrum write+read
@@ -159,33 +168,57 @@ def wfm_model(demod, C: int, n_if: int) -> tuple[float, float]:
     """(flops, bytes) per block for `BroadcastFm`, pilot-mode aware."""
     pilot_taps = 317  # 18.75-19.25 kHz bandpass at 250 kHz (bandpass est.)
     envelope = getattr(demod, "pilot_mode", "normalized") == "envelope"
-    # FFT overlap-save pilot filter: fwd+pointwise+inv per sample; the
-    # envelope mode filters a REAL signal with REAL taps (row-pair
-    # packed: half the FFT batch) and replaces the vco normalize with a
-    # segment mean + divide
-    pilot_fft = 15.0 * C * n_if * _flog2(4 * pilot_taps)
+    c64, f32 = 8.0, 4.0
+    if envelope:
+        # banded-Toeplitz MXU pilot (round 4c): R*M MACs per output on
+        # the real MPX.  The R shifted row views overlap by all but
+        # R-1 rows, so HBM traffic is ~one input read + one write (the
+        # first model counted R reads and measured util came out 1.05)
+        M = 128
+        R = 1 + -(-(pilot_taps - 1) // M)
+        pilot_flops = 2.0 * C * n_if * R * M
+        pilot_bytes = 2 * C * n_if * f32
+    else:
+        # FFT overlap-save pilot filter: fwd+pointwise+inv per sample
+        pilot_flops = 15.0 * C * n_if * _flog2(4 * pilot_taps)
+        pilot_bytes = 6 * C * n_if * f32
     flops = (
         26.0 * C * n_if                    # quadrature discriminator
-        + (0.5 if envelope else 1.0) * pilot_fft
+        + pilot_flops
         + (8.0 if envelope else 25.0) * C * n_if  # c2 + L/R decode
     )
-    c64, f32 = 8.0, 4.0
     bytes_ = (
         C * n_if * c64                     # IF read
-        + (4 if envelope else 6) * C * n_if * f32  # mpx/pilot intermediates
+        + 2 * C * n_if * f32               # mpx write + read
+        + pilot_bytes
         + 2 * C * n_if * 2 * f32           # stereo write (+1 read later)
     )
     return flops, bytes_
 
 
 def audio_model(resamp, deemph, C: int, n_if: int, n_af: int) -> tuple[float, float]:
-    """(flops, bytes) for the audio polyphase resample + deemphasis."""
-    tpp = getattr(getattr(resamp, "resamp", None), "taps_per_phase", 16)
+    """(flops, bytes) for the audio polyphase resample + deemphasis.
+
+    Round 4c: both run as shifted MXU matmuls — the resampler re-reads
+    its input R_rs times (no frame concat), the deemphasis R_de times.
+    """
+    rs = getattr(resamp, "resamp", None)
+    tpp = getattr(rs, "taps_per_phase", 16)
     rows = 2 * C  # stereo x channels
     ntaps_de = getattr(deemph, "_ntaps", 64) or 64
-    flops = 2.0 * rows * n_af * tpp + 2.0 * rows * n_af * ntaps_de
+    r_de = 1 + -(-(ntaps_de - 1) // 128)
+    decim = getattr(rs, "decim", max(1, round(n_if / max(n_af, 1))))
+    flops = (
+        2.0 * rows * n_af * (decim + tpp)  # R_rs*M = decim+tpp MACs/output
+        + 2.0 * rows * n_af * r_de * 128   # deemph banded-Toeplitz
+    )
     f32 = 4.0
-    bytes_ = rows * n_if * f32 + 3 * rows * n_af * f32
+    # shifted matmul row views overlap almost fully -> ~one read each
+    bytes_ = (
+        rows * n_if * f32                  # resampler input read
+        + rows * n_af * f32                # resampler write
+        + 3 * rows * n_af * f32            # deemph read+write+carry
+    )
     return flops, bytes_
 
 

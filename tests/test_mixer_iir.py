@@ -98,6 +98,21 @@ class TestDeemphasis:
         assert y.shape == (2, 512)
         assert st.shape == (2, 1)
 
+    def test_large_batch_mm_path_matches_small(self):
+        # the flagship-sized (2, C, n) batch takes the banded-Toeplitz
+        # matmul branch (kernels/iir.py); it must equal the unroll path
+        op = Deemphasis(50e-6, 48000.0)
+        x = RNG.standard_normal((2, 64, 2400)).astype(np.float32)
+        st = np.zeros((), np.float32)
+        _, y_big = op(st, jnp.asarray(x))  # total 307k >= mm threshold
+        # per-row small calls stay on the unroll path
+        y_rows = np.stack([
+            np.stack([np.asarray(op(st, jnp.asarray(x[c, k]))[1])
+                      for k in range(64)])
+            for c in range(2)
+        ])
+        np.testing.assert_allclose(np.asarray(y_big), y_rows, atol=2e-5)
+
 
 class TestDcBlocker:
     def test_matches_reference_loop(self):
