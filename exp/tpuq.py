@@ -117,6 +117,17 @@ def main():
         np.mean(a[0, ch][4000:] ** 2) / max(np.mean(a[0, 0][4000:] ** 2), 1e-30)
     )
     log(f"channel isolation (ch{ch} power / ch0 power) = {iso:.1f} dB")
+    save = os.environ.get("SDRTPU_TPUQ_SAVE")
+    if save:
+        np.save(save, a)
+        log(f"saved audio -> {save}")
+    other = os.environ.get("SDRTPU_TPUQ_DIFF")
+    if other and os.path.exists(other):
+        b = np.load(other)
+        d = a[:, ch] - b[:, ch]
+        rel = np.sqrt(np.mean(d[:, 4000:] ** 2) / np.mean(b[:, ch, 4000:] ** 2))
+        log(f"audio diff vs {other}: ch{ch} rel RMS {rel:.3e} "
+            f"({20*np.log10(max(rel,1e-30)):.1f} dB)")
 
 
 if __name__ == "__main__":
