@@ -156,6 +156,40 @@ def correlate_valid_bank(x, taps_bank, stride: int = 1, live=None) -> jax.Array:
     return acc
 
 
+def shifted_window_matmul(planes, mats, A: int, precision: str = "highest"):
+    """Core of the shifted-matmul FIR/polyphase kernels.
+
+    ``planes``: real arrays shaped (..., rows, M) — the planes (re/im)
+    of ONE logical input laid out as rows of M.  ``mats``: host float
+    matrices shaped (R*M, W).  Computes, for every (plane, mat) pair,
+
+        out[..., a, w] = sum_q planes[..., a+q, :] @ mat[q*M:(q+1)*M, w]
+
+    i.e. the banded/windowed contraction ``ext[a*M + j] * mat[j, w]``
+    without materializing the (A, R*M) frame concat.  Each window slice
+    is taken ONCE per q and contracted against every mat's q-th row
+    block.  Returns ``out[i][j]`` for plane i x mat j.
+
+    ``precision`` names the MXU pass count — see `matmul_correlate_valid`
+    (TPU einsum DEFAULT is one bf16 pass, ~-50 dB).
+    """
+    M = int(planes[0].shape[-1])
+    mats = [np.asarray(m, np.float32) for m in mats]
+    R = mats[0].shape[0] // M
+    assert all(m.shape[0] == R * M for m in mats)
+    prec = jax.lax.Precision(precision)
+    accs = [[None] * len(mats) for _ in planes]
+    for q in range(R):
+        blocks = [jax.lax.dynamic_slice_in_dim(p, q, A, axis=-2)
+                  for p in planes]
+        for j, m in enumerate(mats):
+            mq = jnp.asarray(m[q * M : (q + 1) * M])
+            for i, blk in enumerate(blocks):
+                term = jnp.einsum("...am,mw->...aw", blk, mq, precision=prec)
+                accs[i][j] = term if accs[i][j] is None else accs[i][j] + term
+    return accs
+
+
 def matmul_correlate_valid(x: jax.Array, taps, block: int = 128,
                            precision: str = "highest") -> jax.Array:
     """`correlate_valid` (stride 1) as banded-Toeplitz MXU matmuls.
@@ -201,33 +235,26 @@ def matmul_correlate_valid(x: jax.Array, taps, block: int = 128,
     xp = jnp.pad(x, pad)
     xr = xp.reshape(x.shape[:-1] + (rows, M))
 
-    prec = jax.lax.Precision(precision)
-
-    def contract(planes, H):
-        accs = [None] * len(planes)
-        for q in range(R):
-            Hq = jnp.asarray(H[q * M : (q + 1) * M].astype(np.float32))
-            for i, p in enumerate(planes):
-                blk = jax.lax.dynamic_slice_in_dim(p, q, A, axis=-2)
-                term = jnp.einsum("...am,mi->...ai", blk, Hq, precision=prec)
-                accs[i] = term if accs[i] is None else accs[i] + term
-        return accs
-
     complex_in = jnp.iscomplexobj(x)
     if not np.iscomplexobj(taps):
         if complex_in:
-            yr, yi = contract((xr.real, xr.imag), Hfull)
-            y = jax.lax.complex(yr, yi)
+            out = shifted_window_matmul((xr.real, xr.imag), (Hfull,), A,
+                                        precision)
+            y = jax.lax.complex(out[0][0], out[1][0])
         else:
-            (y,) = contract((xr,), Hfull)
+            out = shifted_window_matmul((xr,), (Hfull,), A, precision)
+            y = out[0][0]
     else:
+        mats = (Hfull.real, Hfull.imag)
         if complex_in:
-            ar, ai = contract((xr.real, xr.imag), Hfull.real)
-            br, bi = contract((xr.real, xr.imag), Hfull.imag)
-            y = jax.lax.complex(ar - bi, ai + br)
+            # (xr.re + i xr.im) * (Hr + i Hi): every plane x mat product
+            # comes from ONE slice pass per window position
+            out = shifted_window_matmul((xr.real, xr.imag), mats, A,
+                                        precision)
+            y = jax.lax.complex(out[0][0] - out[1][1], out[1][0] + out[0][1])
         else:
-            yr, yi = contract((xr,), Hfull.real) + contract((xr,), Hfull.imag)
-            y = jax.lax.complex(yr, yi)
+            out = shifted_window_matmul((xr,), mats, A, precision)
+            y = jax.lax.complex(out[0][0], out[0][1])
     y = y.reshape(x.shape[:-1] + (A * M,))[..., :span]
     return y
 

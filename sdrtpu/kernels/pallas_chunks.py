@@ -81,7 +81,9 @@ def choose_group(n_chunks_per_block: int, valid: int, ratio: int,
     """Pick chunks-per-grid-step: smallest divisor of the PER-BLOCK chunk
     count whose output tile reaches ``_TILE_TARGET`` elements (so any
     runtime multiple P = K*n_chunks stays divisible), capped by the VMEM
-    window bound.  Returns 1 when no larger divisor helps/fits."""
+    window bound.  If no divisor reaches the target, returns the LARGEST
+    divisor that fits the window bound (a bigger G still shrinks the
+    grid); 1 only when nothing larger fits."""
     vr = valid // ratio
     best = 1
     for g in range(1, n_chunks_per_block + 1):

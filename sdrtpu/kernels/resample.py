@@ -219,34 +219,24 @@ class PolyphaseResampler(StreamOp):
                 ext, [(0, 0)] * (ext.ndim - 1) + [(0, rows * M - ext.shape[-1])]
             )
             xr = xp.reshape(ext.shape[:-1] + (rows, M))
-            G = jnp.asarray(self._G)
+            from .fir import shifted_window_matmul
 
-            # bf16x3 passes: TPU einsum DEFAULT does f32 as ONE bf16
-            # pass (~-50 dB contraction noise — audible in a resampled
-            # audio stream); "high" holds it at ~-95 dB, below every
-            # demod SINAD floor (exp/mmprec.py, round 4c)
-            prec = jax.lax.Precision("high")
-
-            def contract(planes):
-                # y[..., a, b] = sum_q rows[a+q, :] @ G[q*M:(q+1)*M, b] —
-                # the frame-matrix contraction without materializing the
-                # (A, R*M) concat (see class docstring)
-                accs = [None] * len(planes)
-                for q in range(R):
-                    Gq = G[q * M : (q + 1) * M]
-                    for i, p in enumerate(planes):
-                        blk = jax.lax.dynamic_slice_in_dim(p, q, A, axis=-2)
-                        term = jnp.einsum(
-                            "...am,mb->...ab", blk, Gq, precision=prec
-                        )
-                        accs[i] = term if accs[i] is None else accs[i] + term
-                return accs
-
+            # y[..., a, b] = sum_q rows[a+q, :] @ G[q*M:(q+1)*M, b] —
+            # the frame-matrix contraction without materializing the
+            # (A, R*M) concat (see class docstring).  bf16x3 passes:
+            # TPU einsum DEFAULT does f32 as ONE bf16 pass (~-50 dB
+            # contraction noise — audible in a resampled audio stream);
+            # "high" holds it at ~-95 dB, below every demod SINAD floor
+            # (exp/mmprec.py, round 4c).
             if jnp.iscomplexobj(ext):
-                yr, yi = contract((xr.real, xr.imag))
-                y = jax.lax.complex(yr, yi)
+                out = shifted_window_matmul(
+                    (xr.real, xr.imag), (self._G,), A, precision="high"
+                )
+                y = jax.lax.complex(out[0][0], out[1][0])
             else:
-                (y,) = contract((xr,))
+                out = shifted_window_matmul((xr,), (self._G,), A,
+                                            precision="high")
+                y = out[0][0]
             y = y.reshape(ext.shape[:-1] + (n_out,)).astype(ext.dtype)
         elif self.method == "unrolled":
             A = n_out // L

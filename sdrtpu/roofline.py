@@ -93,9 +93,9 @@ def channelizer_model(chain, block_len: int) -> tuple[float, float]:
     )
     if getattr(chain, "_pallas_chunks", False):
         # one-pass Pallas builder: ext read once, (P, R, nif) tile
-        # written once — no separate chunk-matrix or transpose round
-        # trips (kernels/pallas_chunks.py)
-        front_bytes = block_len * c64 + P * F * c64
+        # written once and read back by the FFT — no separate
+        # chunk-matrix or transpose round trips (kernels/pallas_chunks.py)
+        front_bytes = block_len * c64 + 2 * P * F * c64
     else:
         front_bytes = (
             block_len * c64                # wideband read
@@ -179,9 +179,11 @@ def wfm_model(demod, C: int, n_if: int) -> tuple[float, float]:
         pilot_flops = 2.0 * C * n_if * R * M
         pilot_bytes = 2 * C * n_if * f32
     else:
-        # FFT overlap-save pilot filter: fwd+pointwise+inv per sample
+        # FFT overlap-save pilot filter: fwd+pointwise+inv per sample.
+        # 4 units here + the mpx write/read counted below = the 6 units
+        # the pre-4c model carried for these modes (unchanged total)
         pilot_flops = 15.0 * C * n_if * _flog2(4 * pilot_taps)
-        pilot_bytes = 6 * C * n_if * f32
+        pilot_bytes = 4 * C * n_if * f32
     flops = (
         26.0 * C * n_if                    # quadrature discriminator
         + pilot_flops
