@@ -119,7 +119,11 @@ def main():
         # dispatching, so T fetch RTTs run concurrently.
         from concurrent.futures import ThreadPoolExecutor
 
-        T = int(os.environ.get("SDRTPU_LAT_THREADS", 4))
+        # The pool must cover RTT/block_interval concurrent fetches or
+        # the producer stalls waiting for a free worker: at a ~27 ms
+        # RTT and 5 ms blocks that is ~6 in flight (4 workers measured
+        # RTF 0.66 on a 27 ms day; 8 workers 1.10).  Default 8.
+        T = int(os.environ.get("SDRTPU_LAT_THREADS", 8))
         ex = ThreadPoolExecutor(max_workers=T)
         futs = deque()
         tlat = []
