@@ -53,10 +53,21 @@ class Deemphasis(StreamOp):
     _FIR_EPS = 1e-9
     _FIR_MAX_TAPS = 256
 
-    def __init__(self, tau: float, samplerate: float, channels: int = 1):
+    def __init__(self, tau: float, samplerate: float, channels: int = 1,
+                 mm_precision: str = "high",
+                 mm_min_elements: int = 1 << 15):
         dt = 1.0 / float(samplerate)
         self.alpha = np.float32(dt / (float(tau) + dt))
         self.channels = channels
+        # Path selection is batch-size dependent (matmul above
+        # mm_min_elements total elements, exact unroll below), so the
+        # same stream at different batchings is not bit-identical.
+        # Callers needing bit-stable output across batchings can pin one
+        # path: mm_min_elements=0 (always matmul) or a huge value
+        # (always unroll), and pick the contraction precision as Fir
+        # does with mm_precision.
+        self.mm_precision = mm_precision
+        self.mm_min_elements = int(mm_min_elements)
         a = 1.0 - float(self.alpha)
         T = int(np.ceil(np.log(self._FIR_EPS) / np.log(a))) if a > 0 else 1
         if T <= self._FIR_MAX_TAPS:
@@ -95,8 +106,9 @@ class Deemphasis(StreamOp):
         total = 1
         for s in x.shape:
             total *= int(s)
-        if total >= (1 << 15):
-            y = matmul_correlate_valid(xpad, self._fir, precision="high")
+        if total >= self.mm_min_elements:
+            y = matmul_correlate_valid(xpad, self._fir,
+                                       precision=self.mm_precision)
         else:
             y = correlate_valid(xpad, self._fir)
         # carry term a^(n+1)*y0: nonzero only in the first T outputs

@@ -74,11 +74,16 @@ class RrcInterpolator(StreamOp):
         rrc_tap_count: int = 33,
         rrc_beta: float = 0.35,
         dtype=jnp.complex64,
+        normalize_dc: bool = False,
     ):
         self.sps = int(sps)
         proto = tapsmod.root_raised_cosine(rrc_tap_count, rrc_beta, float(sps))
+        # normalize_dc: unit DC gain, the ryfi TX convention
+        # (``ryfi/transmitter.cpp:11-19``); default keeps unity symbol
+        # gain through the zero-stuffing interpolation (* sps).
+        scale = 1.0 / float(proto.sum()) if normalize_dc else float(self.sps)
         self.poly = PolyphaseResampler(
-            self.sps, 1, proto * np.float32(self.sps), dtype=dtype
+            self.sps, 1, proto * np.float32(scale), dtype=dtype
         )
 
     def init_state(self):

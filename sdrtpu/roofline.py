@@ -92,10 +92,12 @@ def channelizer_model(chain, block_len: int) -> tuple[float, float]:
         + 20.0 * C * n_if_out              # residual rotator (sin/cos/cmul)
     )
     if getattr(chain, "_pallas_chunks", False):
-        # one-pass Pallas builder: ext read once, (P, R, nif) tile
-        # written once and read back by the FFT — no separate
-        # chunk-matrix or transpose round trips (kernels/pallas_chunks.py)
-        front_bytes = block_len * c64 + 2 * P * F * c64
+        # one-pass Pallas builder: no separate chunk-matrix or transpose
+        # round trips (kernels/pallas_chunks.py), but chunk_poly fetches
+        # every input block twice — once as grid step g's main block and
+        # once as step g-1's halo block — so the ext read costs
+        # ~2*block_len
+        front_bytes = 2 * block_len * c64 + 2 * P * F * c64
     else:
         front_bytes = (
             block_len * c64                # wideband read
@@ -210,8 +212,14 @@ def audio_model(resamp, deemph, C: int, n_if: int, n_af: int) -> tuple[float, fl
     ntaps_de = getattr(deemph, "_ntaps", 64) or 64
     r_de = 1 + -(-(ntaps_de - 1) // 128)
     decim = getattr(rs, "decim", max(1, round(n_if / max(n_af, 1))))
+    # The matmul path costs R_rs*M = decim+tpp MACs/output; the unrolled
+    # path (interp*tpp <= MATMUL_MIN) is ~tpp AXPY MACs/output
+    if getattr(rs, "method", "matmul") == "matmul":
+        rs_flops = 2.0 * rows * n_af * (decim + tpp)
+    else:
+        rs_flops = 2.0 * rows * n_af * tpp
     flops = (
-        2.0 * rows * n_af * (decim + tpp)  # R_rs*M = decim+tpp MACs/output
+        rs_flops
         + 2.0 * rows * n_af * r_de * 128   # deemph banded-Toeplitz
     )
     f32 = 4.0

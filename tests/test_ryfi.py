@@ -1,16 +1,39 @@
-"""RyFi modem codec loopback tests."""
+"""RyFi modem tests: wire-format parity, codec + RF loopbacks, BER curve.
+
+Wire parity evidence: ``fixtures/ryfi_{payload,coded}.bin`` were generated
+by compiling the reference's own vendored libcorrect
+(``core/libcorrect``) with a harness replicating the reference TX byte
+pipeline (``ryfi/rs_codec.cpp`` RS+interleave+scramble,
+``libcorrect convolutional/encode.c`` r12_7) — see docs/PARITY.md.
+"""
+
+import os
 
 import numpy as np
+import pytest
 
 from sdrtpu.decoders.ryfi import (
+    CODED_BITS,
+    DATA_BITS,
+    FRAME_DATA_SIZE,
+    FRAME_SYMS,
+    SCRAMBLER,
+    SYNC_SYMS,
     Frame,
+    PacketReassembler,
     RyfiCodec,
+    RyfiDeframer,
+    RyfiReceiver,
+    RyfiTransmitter,
+    _interleave,
     find_sync,
     pack_packets,
+    pack_stream,
     unpack_packets,
 )
 
 RNG = np.random.default_rng(66)
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
 def test_frame_serialize_roundtrip():
@@ -21,31 +44,53 @@ def test_frame_serialize_roundtrip():
     np.testing.assert_array_equal(f2.content, f.content)
 
 
+def test_wire_golden():
+    """TX byte pipeline is bit-exact vs the reference's libcorrect."""
+    payload = np.fromfile(os.path.join(FIX, "ryfi_payload.bin"), np.uint8)
+    gold = np.unpackbits(
+        np.fromfile(os.path.join(FIX, "ryfi_coded.bin"), np.uint8)
+    )[:CODED_BITS]
+    codec = RyfiCodec()
+    blocks = np.stack([
+        np.asarray(codec.rs.encode(payload[i * 223:(i + 1) * 223]))
+        for i in range(4)
+    ])
+    bits = np.concatenate([
+        np.unpackbits(_interleave(blocks) ^ SCRAMBLER),
+        np.zeros(8, np.uint8),
+    ])
+    mine = codec.conv_enc.encode(bits)
+    np.testing.assert_array_equal(mine, gold)
+    # and the RX stack decodes the reference's own coded stream
+    frame, nerr = codec.decode_soft(1.0 - 2.0 * gold.astype(np.float32))
+    assert frame is not None and nerr == 0
+    np.testing.assert_array_equal(frame.serialize(), payload)
+
+
 def test_codec_loopback_clean():
     codec = RyfiCodec()
     f = pack_packets([b"hello ryfi", b"second packet"], counter=7)
     syms = codec.encode_frame(f)
+    assert syms.size == SYNC_SYMS + FRAME_SYMS
     bits = codec.symbols_to_bits(syms)
     i = find_sync(bits)
     assert i == 0
-    frame, nerr = codec.decode_bits(bits[i + 64 :])
+    frame, nerr = codec.decode_bits(bits[i + 64:])
     assert frame is not None and nerr == 0
     assert frame.counter == 7
-    pkts = unpack_packets(frame)
-    assert pkts == [b"hello ryfi", b"second packet"]
+    assert unpack_packets(frame) == [b"hello ryfi", b"second packet"]
 
 
 def test_codec_with_symbol_errors():
     codec = RyfiCodec()
     f = pack_packets([b"error tolerant"], counter=1)
     syms = np.asarray(codec.encode_frame(f)).copy()
-    # corrupt 1% of symbols (phase flips)
     idx = RNG.choice(len(syms) - 32, size=len(syms) // 100, replace=False) + 32
     syms[idx] = -syms[idx]
     bits = codec.symbols_to_bits(syms)
     i = find_sync(bits)
     assert i >= 0
-    frame, nerr = codec.decode_bits(bits[i + 64 :])
+    frame, nerr = codec.decode_bits(bits[i + 64:])
     assert frame is not None, "uncorrectable"
     assert unpack_packets(frame) == [b"error tolerant"]
 
@@ -56,5 +101,111 @@ def test_sync_with_offset_and_noise():
     syms = codec.encode_frame(f)
     bits = codec.symbols_to_bits(syms)
     stream = np.concatenate([RNG.integers(0, 2, 131).astype(np.uint8), bits])
-    i = find_sync(stream)
-    assert i == 131
+    assert find_sync(stream) == 131
+
+
+def test_deframer_rotation_ambiguity():
+    """All four 90° constellation rotations resync (``framing.cpp:52-81``)."""
+    codec = RyfiCodec()
+    f = pack_packets([b"rotated"], counter=3)
+    syms = codec.encode_frame(f)
+    for rot in (1.0, 1.0j, -1.0, -1.0j):
+        defr = RyfiDeframer()
+        frames = defr.push(syms * np.complex64(rot))
+        assert len(frames) == 1, f"rot {rot}: no frame"
+        frame, nerr = codec.decode_soft(codec.symbols_to_soft(frames[0]))
+        assert frame is not None and frame.counter == 3, f"rot {rot}"
+
+
+def test_pack_stream_spanning():
+    """A >886-byte packet spans frames; reassembler recovers it."""
+    big = bytes(RNG.integers(0, 256, 1500).astype(np.uint8))
+    small = b"tail packet"
+    frames = pack_stream([big, small], counter=10)
+    assert len(frames) == 2
+    assert frames[0].first_packet == 0
+    reasm = PacketReassembler()
+    got = []
+    for fr in frames:
+        got += reasm.push(fr)
+    assert got == [big, small]
+
+
+def test_reassembler_frame_loss_cancels_partial():
+    big = bytes(RNG.integers(0, 256, 1200).astype(np.uint8))
+    frames = pack_stream([big], counter=0)
+    later = pack_stream([b"after gap"], counter=5)
+    reasm = PacketReassembler()
+    got = reasm.push(frames[0])       # partial
+    got += reasm.push(later[0])       # counter jump: partial cancelled
+    assert got == [b"after gap"]
+
+
+def test_rf_loopback_es_n0_8db():
+    """IQ -> packets through the PSK4 chain at Es/N0 = 8 dB.
+
+    VERDICT r4 #6 acceptance: RF-domain loopback recovering packets at
+    Es/N0 <= 8 dB (reference chain ``ryfi/receiver.cpp:19``).
+    """
+    baud, fs = 20000.0, 80000.0
+    tx = RyfiTransmitter(baud, fs)
+    rng = np.random.default_rng(3)
+    payload = bytes(rng.integers(0, 256, 300).astype(np.uint8))
+    bb = np.concatenate([
+        tx.idle(),                                  # demod lock time
+        tx.send([b"hello ryfi", b"wire parity"]),
+        tx.send([payload]),
+        tx.idle(),
+    ])
+    es = np.mean(np.abs(bb) ** 2) * (fs / baud)
+    sigma = np.sqrt(es / 10 ** (8.0 / 10.0) / 2)
+    y = (bb * np.exp(0.4j)
+         + sigma * (rng.standard_normal(bb.size)
+                    + 1j * rng.standard_normal(bb.size))).astype(np.complex64)
+    rx = RyfiReceiver(baud, fs)
+    pkts = []
+    B = 16384
+    for i in range(0, len(y) // B * B, B):
+        pkts += rx.process(y[i:i + B])
+    assert rx.frames_decoded >= 2, (rx.frames_decoded, rx.frames_failed)
+    assert pkts == [b"hello ryfi", b"wire parity", payload]
+
+
+def test_ber_frame_loss_curve():
+    """Symbol-domain BER / frame-loss vs Es/N0 (coding gain evidence).
+
+    The coded chain (Viterbi K=7 soft + RS(255,223)) must deliver
+    error-free frames from Es/N0 >= 5 dB where the raw channel runs
+    ~1e-2 hard-decision BER; below the cliff (2 dB) frames may fail.
+    """
+    codec = RyfiCodec()
+    rng = np.random.default_rng(9)
+    content = rng.integers(0, 256, FRAME_DATA_SIZE).astype(np.uint8)
+    f = Frame(counter=1, first_packet=0xFFFF, last_packet=0xFFFF,
+              content=content)
+    syms = np.asarray(codec.encode_frame(f))
+    curve = {}
+    for esn0_db in (2.0, 5.0, 8.0):
+        sigma = np.sqrt(1.0 / 10 ** (esn0_db / 10) / 2)
+        ok = 0
+        raw_errs = 0
+        trials = 2
+        for _ in range(trials):
+            noisy = syms + sigma * (
+                rng.standard_normal(syms.size)
+                + 1j * rng.standard_normal(syms.size)
+            ).astype(np.complex64)
+            raw_errs += int(np.count_nonzero(
+                codec.symbols_to_bits(noisy) != codec.symbols_to_bits(syms)
+            ))
+            frame, nerr = codec.decode_soft(
+                codec.symbols_to_soft(noisy[SYNC_SYMS:])
+            )
+            if frame is not None and np.array_equal(frame.content, content):
+                ok += 1
+        curve[esn0_db] = (ok / trials,
+                          raw_errs / (trials * 2 * syms.size))
+    # raw channel is meaningfully noisy at 5 dB, yet frames are clean
+    assert curve[5.0][1] > 1e-3, curve
+    assert curve[5.0][0] == 1.0, curve
+    assert curve[8.0][0] == 1.0, curve
