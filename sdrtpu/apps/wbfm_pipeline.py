@@ -79,12 +79,20 @@ class WbfmMultiVfoPipeline(StreamOp):
         # normalization (kernels/wfm.py) — algebraically equal to the
         # "normalized" analytic path's Re(conj(vco)^2) at half the pilot
         # FFT batch (the demod's dominant cost at many channels).
+        # mpx_eq: the channelized IF always comes from a decimating DDC,
+        # whose phase-difference discriminator carries an inherent
+        # sinc(f/fs_if) MPX droop (-0.34 dB at 38 kHz -> ~34 dB stereo
+        # separation ceiling; the reference ships the droop,
+        # quadrature.h:39-46).  The 11-tap inverse-sinc equalizer
+        # (taps.inverse_sinc, round 5) lifts pipeline separation from
+        # ~34 dB to 55+ dB.
         self.demod = BroadcastFm(
             deviation=deviation,
             samplerate=if_rate,
             stereo=stereo,
             low_pass=False,
             pilot_mode=pilot_mode,
+            mpx_eq=True,
         )
         # Audio is real stereo: resample in float32 (half the arithmetic
         # and HBM traffic of the complex path).

@@ -137,6 +137,38 @@ def band_pass(
     return windowed_sinc(count, omega, window_fn=win_r)
 
 
+def inverse_sinc(
+    count: int, samplerate: float, f_max: float = 60000.0
+) -> np.ndarray:
+    """Linear-phase LS equalizer for the discriminator's sinc droop.
+
+    A phase-difference FM discriminator at rate fs measures the AVERAGE
+    instantaneous frequency over each 1/fs span, imposing a
+    ``sinc(f/fs)`` magnitude droop on the demodulated MPX — inherent to
+    any DDC-fed discriminator, including the reference's
+    (``quadrature.h:39-46`` has it uncompensated; at 250 kHz IF it is
+    -0.34 dB at the 38 kHz stereo subcarrier, capping stereo separation
+    at ~34 dB, and -0.8 dB at the 57 kHz RDS subcarrier).  This designs
+    a short symmetric FIR whose response approximates ``1/sinc(f/fs)``
+    over [0, f_max] (weighted least squares; don't-care above), flattening
+    the MPX to <0.03% with 11 taps.
+    """
+    assert count % 2 == 1
+    M = (count - 1) // 2
+    f = np.linspace(0.0, 0.48 * samplerate, 2000)
+    target = 1.0 / np.sinc(f / samplerate)
+    wgt = np.where(f <= f_max, 1.0, 0.05)
+    k = np.arange(1, M + 1)
+    # symmetric FIR: H(f) = h0 + 2*sum_k hk cos(2 pi f k / fs)
+    A = np.concatenate(
+        [np.ones((len(f), 1)), 2.0 * np.cos(2 * np.pi * np.outer(f / samplerate, k))],
+        axis=1,
+    )
+    coef, *_ = np.linalg.lstsq(A * wgt[:, None], wgt * target, rcond=None)
+    h = np.concatenate([coef[1:][::-1], coef[:1], coef[1:]])
+    return h.astype(np.float32)
+
+
 def root_raised_cosine(count: int, beta: float, Ts: float) -> np.ndarray:
     """Root-raised-cosine pulse taps (``root_raised_cosine.h:8-33``).
 

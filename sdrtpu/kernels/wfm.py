@@ -78,6 +78,7 @@ class BroadcastFm(StreamOp):
         low_pass: bool = True,
         rds_out: bool = False,
         pilot_mode: str = "normalized",
+        mpx_eq: bool = False,
     ):
         self.samplerate = float(samplerate)
         self.stereo = stereo
@@ -85,6 +86,19 @@ class BroadcastFm(StreamOp):
         self.rds_out = rds_out
         assert pilot_mode in ("envelope", "normalized", "regression", "pll")
         self.pilot_mode = pilot_mode
+        # mpx_eq: 11-tap inverse-sinc MPX equalizer compensating the
+        # discriminator's averaging droop (taps.inverse_sinc).  The
+        # reference leaves the droop in (stereo separation ceiling ~34 dB
+        # on DDC-fed IF); enabled by the pipeline/radio layers where the
+        # IF always comes from a decimating front end, OFF here by
+        # default so oracle-parity tests compare like for like.
+        self.mpx_eq = bool(mpx_eq)
+        if self.mpx_eq:
+            self.eq_fir = Fir(
+                tapsmod.inverse_sinc(11, samplerate), dtype=jnp.float32
+            )
+        else:
+            self.eq_fir = None
 
         self.quad = Quadrature(deviation, samplerate)
         pilot_taps = tapsmod.band_pass(
@@ -141,6 +155,7 @@ class BroadcastFm(StreamOp):
     def init_state(self):
         return {
             "quad": self.quad.init_state(),
+            "eq": self.eq_fir.init_state() if self.eq_fir else (),
             "pilot_fir": self.pilot_fir.init_state(),
             "pll": self.pilot_pll.init_state() if self.pilot_pll else (),
             "lpr_delay": self.lpr_delay.init_state(),
@@ -159,6 +174,8 @@ class BroadcastFm(StreamOp):
     def __call__(self, state, x):
         st = dict(state)
         st["quad"], m = self.quad(state["quad"], x)
+        if self.eq_fir is not None:
+            st["eq"], m = self.eq_fir(state["eq"], m)
 
         rds = None
         if not self.stereo:

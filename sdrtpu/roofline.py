@@ -186,8 +186,11 @@ def wfm_model(demod, C: int, n_if: int) -> tuple[float, float]:
         # the pre-4c model carried for these modes (unchanged total)
         pilot_flops = 15.0 * C * n_if * _flog2(4 * pilot_taps)
         pilot_bytes = 4 * C * n_if * f32
+    # 11-tap inverse-sinc MPX equalizer (round 5, fused shift-add)
+    eq_flops = (2.0 * 11 * C * n_if) if getattr(demod, "mpx_eq", False) else 0.0
     flops = (
         26.0 * C * n_if                    # quadrature discriminator
+        + eq_flops
         + pilot_flops
         + (8.0 if envelope else 25.0) * C * n_if  # c2 + L/R decode
     )

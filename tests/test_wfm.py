@@ -72,3 +72,46 @@ def test_chunked_equals_full_normalized():
         parts.append(np.asarray(y))
     chunked = np.concatenate(parts, axis=-1)
     np.testing.assert_allclose(np.asarray(full), chunked, atol=1e-3)
+
+
+def test_inverse_sinc_taps_flatten_droop():
+    """taps.inverse_sinc compensates 1/sinc(f/fs) to <0.1% over 0-60 kHz."""
+    from sdrtpu.kernels import taps as tapsmod
+
+    fs = 250000.0
+    h = tapsmod.inverse_sinc(11, fs)
+    f = np.array([1000.0, 15000.0, 19000.0, 38000.0, 53000.0, 57000.0])
+    k = np.arange(len(h))
+    H = np.abs(np.exp(-2j * np.pi * np.outer(f / fs, k)) @ h.astype(np.float64))
+    residual = H * np.sinc(f / fs) - 1.0
+    assert np.max(np.abs(residual)) < 1e-3, residual
+
+
+def test_mpx_eq_lifts_decimated_separation():
+    """The DDC discriminator's sinc droop caps separation at ~34 dB;
+    mpx_eq removes it (round 5; the reference ships the droop,
+    ``quadrature.h:39-46``)."""
+    fs_wide, fsif = 2_000_000.0, 250000.0
+    n = 1 << 21
+    t = np.arange(n) / fs_wide
+    L = 0.8 * np.sin(2 * np.pi * 1000.0 * t)
+    R = 0.8 * np.sin(2 * np.pi * 2500.0 * t)
+    mpx = (0.225 * (L + R) + 0.1 * np.sin(2 * np.pi * 19000.0 * t)
+           + 0.225 * (L - R) * np.sin(2 * np.pi * 38000.0 * t))
+    iq = np.exp(1j * np.cumsum(2 * np.pi * 75000.0 * mpx / fs_wide)
+                ).astype(np.complex64)
+    from sdrtpu.shard.channelizer import Channelizer
+
+    chz = Channelizer(np.array([0.0]), fs_wide, fsif, n)
+    _, yif = chz(chz.init_state(), jnp.asarray(iq))
+    yif = np.asarray(yif)[0]
+    seps = {}
+    for eq in (False, True):
+        d = BroadcastFm(samplerate=fsif, stereo=True, low_pass=True,
+                        pilot_mode="envelope", mpx_eq=eq)
+        _, (out, _) = d(d.init_state(), jnp.asarray(yif))
+        x = np.asarray(out)[0, 40000:]
+        seps[eq] = 10 * np.log10(tone_power(x, 1000, fsif)
+                                 / tone_power(x, 2500, fsif))
+    assert seps[False] < 40.0, seps   # the uncompensated ceiling is real
+    assert seps[True] > 55.0, seps    # and the equalizer removes it
