@@ -122,8 +122,12 @@ def main():
         # The pool must cover RTT/block_interval concurrent fetches or
         # the producer stalls waiting for a free worker: at a ~27 ms
         # RTT and 5 ms blocks that is ~6 in flight (4 workers measured
-        # RTF 0.66 on a 27 ms day; 8 workers 1.10).  Default 8.
-        T = int(os.environ.get("SDRTPU_LAT_THREADS", 8))
+        # RTF 0.66 on a 27 ms day; 8 workers 1.10).  Auto-sized from the
+        # MEASURED fetch RTT (VERDICT r4 #4a): ceil(RTT/interval)+1,
+        # clamped to [2, 16]; SDRTPU_LAT_THREADS overrides.
+        rtt = float(np.median(laps)) / 1e3  # serial lap ~ fetch RTT bound
+        auto_T = min(16, max(2, int(np.ceil(rtt / (sig_ms / 1e3))) + 1))
+        T = int(os.environ.get("SDRTPU_LAT_THREADS", auto_T))
         ex = ThreadPoolExecutor(max_workers=T)
         futs = deque()
         tlat = []
@@ -161,8 +165,12 @@ def main():
             "pipelined_latency_ms_p90": round(
                 float(np.percentile(lat, 90)), 1),
             "threaded_fetch_workers": T,
+            "threaded_fetch_workers_auto": auto_T,
             "threaded_sustained_ms_per_block": round(tsustained_ms, 2),
             "threaded_rtf": round(sig_ms / tsustained_ms, 2),
+            "threaded_latency_ms_p50": round(float(np.median(tlat)), 1),
+            "threaded_latency_ms_p95": round(
+                float(np.percentile(tlat, 95)), 1),
             "threaded_latency_ms_median": round(float(np.median(tlat)), 1),
             "compile_s": round(compile_s, 1),
         }

@@ -346,6 +346,7 @@ class Receiver:
         baseband_sinks: list[Callable] | None = None,
         scan_batch: int = 1,
         metrics=None,
+        async_fetch: int | str = 0,
     ):
         from .. import enable_compile_cache
 
@@ -385,6 +386,41 @@ class Receiver:
             if metrics is not None
             else None
         )
+        # async_fetch: overlap the per-block device->host result fetches.
+        # JAX dispatch is already asynchronous — what serializes a live
+        # session on a remote-tunneled device is the ~25-30 ms RTT each
+        # synchronous np.asarray(audio) fetch pays (bench_latency.py,
+        # docs/PERF.md round 4).  With a small fetch pool, push() only
+        # dispatches; worker threads materialize results concurrently and
+        # a single emitter thread delivers them to sinks IN ORDER.
+        # "auto" sizes the pool from the measured fetch RTT at warmup():
+        # ceil(RTT / block_interval) + 1, clamped to [2, 16] (VERDICT r4
+        # #4a).  0 = fully synchronous (previous behavior).
+        self.async_fetch = async_fetch
+        self._fetch_pool = None
+        self._emit_q = None
+        self._emitter = None
+        if isinstance(async_fetch, int) and async_fetch > 0:
+            self._start_async(async_fetch)
+
+        self._build_steps()
+        # live demod-switch program cache: (vfo_name, mode, bandwidth) ->
+        # (built Vfo, jitted step, jitted scan step).  Reusing the cached
+        # closures avoids both the re-trace AND the XLA compile on a
+        # switch back (the reference keeps all demodulators constructed,
+        # radio_module.h:90-110)
+        self._mode_programs: dict = {}
+        self._rstate = realify(frontend.init_state())
+        self._warmed = False
+
+    def _build_steps(self) -> None:
+        """(Re)build the jitted step closures over the current frontend.
+
+        Called at construction and after structural changes like
+        `set_mode` — the closures capture the frontend object, so
+        mutating it would not invalidate jit's cache by itself.
+        """
+        frontend = self.frontend
 
         @jax.jit
         def _step(rstate, re, im):
@@ -405,8 +441,80 @@ class Receiver:
 
         self._step = _step
         self._step_scan = _step_scan
-        self._rstate = realify(frontend.init_state())
-        self._warmed = False
+
+    def set_mode(self, name: str, mode: str,
+                 bandwidth: float | None = None) -> float:
+        """Switch a VFO's demodulator live; returns the switch latency (s).
+
+        The analog of the reference's demod selection
+        (``radio_module.h:402-416`` — which logs the same latency).
+        Rebuilds the VFO chain for the new mode, re-jits the step (an XLA
+        cache hit when this mode was used before at this configuration),
+        and re-initializes that VFO's DSP state (a demod switch re-locks
+        in the reference too).
+        """
+        import time as _time
+
+        import dataclasses
+        t0 = _time.perf_counter()
+        fe = self.frontend
+        if name not in fe.vfos:
+            raise KeyError(name)
+        with self._state_lock:
+            if name in fe._grouped_names():
+                raise NotImplementedError(
+                    "demod switch on a fused-group VFO: rebuild the "
+                    "Receiver (group plans are mode-rate-specific)"
+                )
+            old = fe.vfos[name]
+            offset = old.cfg.offset_hz
+            # remember the outgoing program so switching back is instant
+            self._mode_programs.setdefault(
+                (name, old.cfg.mode, old.cfg.bandwidth),
+                (old, self._step, self._step_scan))
+            key = (name, mode,
+                   bandwidth if bandwidth is not None else None)
+            cached = self._mode_programs.get(key)
+            if cached is not None:
+                new, self._step, self._step_scan = cached
+                fe.vfos[name] = new
+            else:
+                cfg = dataclasses.replace(
+                    old.cfg, mode=mode,
+                    bandwidth=(bandwidth if bandwidth is not None
+                               else None))
+                new = Vfo(cfg, fe.effective_samplerate,
+                          old.radio.audio_rate, emit_iq=old.emit_iq)
+                inner = self.block_len // fe.decimation
+                assert inner % new.block_multiple() == 0, (
+                    f"block_len {self.block_len} incompatible with mode "
+                    f"{mode} (quantum {new.block_multiple()})"
+                )
+                new.bind(inner)
+                fe.vfos[name] = new
+                self._build_steps()
+                self._mode_programs[key] = (
+                    new, self._step, self._step_scan)
+            # swap ONLY the switched VFO's subtree: whole-state
+            # complexify/realify costs one device op per leaf (~0.4 s
+            # through the tunnel, measured in the round-5 live session);
+            # the new chain's init state is host numpy, so this is pure
+            # host work
+            rst = dict(self._rstate)
+            vfos = dict(rst["vfos"])
+            vst = new.init_state()
+            if abs(new.cfg.offset_hz - offset) > 1e-9:
+                vst = new.retune_state(vst, offset)
+            vfos[name] = realify(vst)
+            rst["vfos"] = vfos
+            self._rstate = rst
+            self._warmed = False
+        # compile (or cache-hit) the new program immediately so the next
+        # push doesn't stall; functional step — discarding the result
+        # leaves the receiver state untouched
+        zeros = np.zeros(self.block_len, np.float32)
+        self._step(self._rstate, zeros, zeros)
+        return _time.perf_counter() - t0
 
     def save_checkpoint(self, path: str) -> None:
         """Snapshot the full DSP state mid-stream (SURVEY §5.4).
@@ -463,12 +571,89 @@ class Receiver:
         """Live-retune one VFO: state-table swap, no recompilation.
 
         Thread-safe against concurrent dispatches (webview/rigctl call
-        this from their own threads).
+        this from their own threads).  Only the retuned subtree is
+        converted: complexify/realify over the WHOLE state eagerly
+        re-materializes every leaf as a separate device op — ~3 s
+        through a remote tunnel's per-dispatch RTT (measured in the
+        round-5 live session); the subtree path is milliseconds.
         """
+        fe = self.frontend
+        if name not in fe.vfos:
+            raise KeyError(name)
         with self._state_lock:
-            st = complexify(self._rstate)
-            st = self.frontend.retune(st, name, offset_hz)
-            self._rstate = realify(st)
+            rst = dict(self._rstate)
+            hit = None
+            for if_rate, (names, chan) in fe._groups.items():
+                if name in names:
+                    hit = (f"{if_rate:.0f}", names, chan)
+                    break
+            if hit is not None:
+                key, names, chan = hit
+                offsets = [
+                    offset_hz if n == name else fe.vfos[n].cfg.offset_hz
+                    for n in names
+                ]
+                chans = dict(rst["chan"])
+                chans[key] = realify(
+                    chan.retune_state(complexify(rst["chan"][key]), offsets)
+                )
+                rst["chan"] = chans
+                fe.vfos[name].cfg.offset_hz = float(offset_hz)
+            else:
+                vfos = dict(rst["vfos"])
+                vst = dict(vfos[name])
+                # TunableXlator tables are host-real: swap costs no
+                # device work at all (the carried phase leaf passes
+                # through untouched)
+                vst["xl"] = realify(fe.vfos[name].xlator.retune_state(
+                    complexify(vst["xl"]), -float(offset_hz)
+                ))
+                fe.vfos[name].cfg.offset_hz = float(offset_hz)
+                vfos[name] = vst
+                rst["vfos"] = vfos
+            self._rstate = rst
+
+    def _start_async(self, workers: int) -> None:
+        import queue
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.async_fetch = int(workers)
+        self._fetch_pool = ThreadPoolExecutor(max_workers=self.async_fetch)
+        # bounded: push() backpressures instead of racing unboundedly
+        # ahead of the fetch drain; 4x workers of slack so a single RTT
+        # spike doesn't stall the producer (round-5 live session: with
+        # 2x, each ~100 ms spike cost ~150 ms of unreclaimable stall)
+        self._emit_q = queue.Queue(maxsize=4 * self.async_fetch)
+        self._emitter = threading.Thread(target=self._emit_loop, daemon=True)
+        self._emitter.start()
+
+    def _materialize(self, payload):
+        baseband, audios, spec, batched, vf = payload
+        audios = {k: np.asarray(v) for k, v in audios.items()}
+        spec = np.asarray(spec) if spec is not None else None
+        return baseband, audios, spec, batched, vf
+
+    def _emit_loop(self) -> None:
+        while True:
+            fut = self._emit_q.get()
+            if fut is None:
+                self._emit_q.task_done()
+                return
+            try:
+                self._emit(*fut.result())
+            finally:
+                self._emit_q.task_done()
+
+    def _dispatch_emit(self, payload) -> None:
+        if self._fetch_pool is None:
+            self._emit(*payload)
+            return
+        self._emit_q.put(self._fetch_pool.submit(self._materialize, payload))
+
+    def sync(self) -> None:
+        """Block until every dispatched result has reached its sinks."""
+        if self._emit_q is not None:
+            self._emit_q.join()
 
     def warmup(self) -> None:
         """Compile the processing step ahead of live data.
@@ -491,6 +676,28 @@ class Receiver:
             zb = np.zeros((self.scan_batch, self.block_len), np.float32)
             self._step_scan(st, zb, zb)
         self._rstate = state0
+        if self.async_fetch == "auto" and self._fetch_pool is None:
+            # measure the device->host fetch RTT with the compiled step:
+            # median of 3 round trips on the zero block
+            import time as _time
+
+            laps = []
+            st2 = state0
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                st2, (audios, _sp) = self._step(st2, zeros, zeros)
+                for v in audios.values():
+                    np.asarray(v)
+                    break
+                laps.append(_time.perf_counter() - t0)
+            rtt = sorted(laps)[len(laps) // 2]
+            interval = self.block_len / self.frontend.samplerate
+            # +3 (not +1): the pool's sustained fetch rate is
+            # workers/RTT — at +1 a ~30% RTT spike saturates it and the
+            # producer stalls; the extra workers are ~1.5x headroom
+            workers = min(16, max(2, int(np.ceil(rtt / interval)) + 3))
+            self._start_async(workers)
+            self._rstate = state0
 
     def push(self, iq: np.ndarray) -> None:
         """Feed host IQ samples; dispatches as blocks/batches fill.
@@ -510,7 +717,7 @@ class Receiver:
                 # under the lock, emit outside it
                 restored = self._drain_compute()
         for payload in restored:
-            self._emit(*payload)
+            self._dispatch_emit(payload)
         while True:
             payload = None
             with self._state_lock:
@@ -532,7 +739,7 @@ class Receiver:
                         self._pending = self._pending[self.scan_batch :]
                         payload = self._compute_batch(batch)
             if payload is not None:
-                self._emit(*payload)
+                self._dispatch_emit(payload)
 
     def _drain_compute(self) -> list:
         """Run compiled steps for all pending blocks (caller holds the
@@ -550,7 +757,7 @@ class Receiver:
         with self._state_lock:
             payloads = self._drain_compute()
         for payload in payloads:
-            self._emit(*payload)
+            self._dispatch_emit(payload)
 
     def _emit(
         self, baseband, audios, spec, batched: bool,
@@ -615,7 +822,8 @@ class Receiver:
                 for block in self.framer.push(np.zeros(pad, np.complex64)):
                     payloads.append(self._compute(block, valid_fraction=frac))
         for payload in payloads:
-            self._emit(*payload)
+            self._dispatch_emit(payload)
+        self.sync()
 
     def run_file(self, path: str) -> None:
         """Process a whole IQ WAV recording (file_source parity)."""

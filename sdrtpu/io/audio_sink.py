@@ -164,7 +164,12 @@ class PacedNullBackend:
         if due > now:
             self._sleep(due - now)
         elif now - due > self.latency:
+            # one underrun event per stall: a hardware sink would play
+            # silence for the gap and resume — re-anchor the playout
+            # timeline so a single hiccup doesn't mark every subsequent
+            # packet late forever
             self.underruns += 1
+            self._start += now - due
         self.frames_written += packet.shape[1]
 
     def close(self) -> None:
@@ -204,11 +209,17 @@ class AudioSink:
     """
 
     def __init__(self, samplerate: float, channels: int = 2,
-                 backend=None, volume: float = 1.0):
+                 backend=None, volume: float = 1.0,
+                 latency_packets: int | None = None):
         self.packer = Packer(PACKET_FRAMES, channels)
         self.backend = backend if backend is not None else best_backend(
             samplerate, channels
         )
+        # jitter-buffer depth: remote-tunneled devices deliver audio
+        # ~2x RTT late with multi-ms jitter — size the playout buffer to
+        # the transport (live_radio sets ~150 ms for tunnel sessions)
+        if latency_packets is not None and hasattr(self.backend, "latency"):
+            self.backend.latency = latency_packets * PACKET_FRAMES / float(samplerate)
         self.volume = float(volume)
         self.packets = 0
 

@@ -355,3 +355,69 @@ class TestReceiverRetune:
         assert len(traces) == n_traces, "retune retraced the program"
         a = np.concatenate(audio_b, axis=-1)[0]
         assert abs(dominant_tone(a[len(a) // 2:], 48000.0) - 1700.0) < 25.0
+
+
+class TestAsyncFetchAndModeSwitch:
+    def test_async_fetch_matches_sync(self):
+        fs = 400000.0
+        iq = make_nfm_capture(fs, 100000.0, 800.0, 1 << 17)
+        outs = {}
+        for workers in (0, 3):
+            fe = IQFrontend(fs, {"v0": VfoConfig(100000.0, "nfm")},
+                            spectrum=False)
+            audio = []
+            rx = Receiver(fe, block_len=fe.block_multiple(),
+                          audio_sinks={"v0": audio.append},
+                          async_fetch=workers)
+            rx.push(iq)
+            rx.flush()
+            outs[workers] = np.concatenate(audio, axis=-1)
+        # async delivery must preserve order and content exactly
+        np.testing.assert_array_equal(outs[0], outs[3])
+
+    def test_auto_async_sizing(self):
+        fs = 400000.0
+        fe = IQFrontend(fs, {"v0": VfoConfig(100000.0, "nfm")},
+                        spectrum=False)
+        rx = Receiver(fe, block_len=fe.block_multiple(),
+                      async_fetch="auto")
+        rx.warmup()
+        assert rx._fetch_pool is not None
+        assert 2 <= rx.async_fetch <= 16
+
+    def test_set_mode_switches_demod_live(self):
+        fs = 1_000_000.0
+        # WFM station at +250 kHz (mono content 800 Hz)
+        n = 1 << 19
+        t = np.arange(n) / fs
+        mpx = 0.9 * np.sin(2 * np.pi * 800.0 * t)
+        ph = np.cumsum(2 * np.pi * 75000.0 * mpx / fs)
+        iq = (0.7 * np.exp(1j * (2 * np.pi * 250000.0 * t + ph))
+              ).astype(np.complex64)
+        fe = IQFrontend(fs, {"v0": VfoConfig(250000.0, "wfm", stereo=False)},
+                        spectrum=False)
+        audio = []
+        rx = Receiver(fe, block_len=fe.block_multiple() * 4,
+                      audio_sinks={"v0": audio.append})
+        half = len(iq) // 2
+        rx.push(iq[:half])
+        n_before = len(audio)
+        assert n_before > 0
+        a_wfm = np.concatenate(audio, axis=-1)
+        tone = dominant_tone(a_wfm[0][2000:], 48000.0)
+        assert abs(tone - 800.0) < 20.0
+        # live switch to NFM (deviation mismatch is fine: we only check
+        # the chain re-locks and produces audio through the new program)
+        dt = rx.set_mode("v0", "nfm")
+        assert dt < 60.0  # compiled (or cache-hit) within sanity bounds
+        assert rx.frontend.vfos["v0"].radio.if_rate == 50000.0
+        rx.push(iq[half:])
+        rx.flush()
+        assert len(audio) > n_before, "no audio after demod switch"
+        a_nfm = np.concatenate(audio[n_before:], axis=-1)
+        assert np.isfinite(a_nfm).all()
+        # switch back: XLA cache makes this fast and it must re-lock too
+        rx.set_mode("v0", "wfm")
+        rx.push(iq[:half])
+        rx.flush()
+        assert len(audio) > n_before + 1
