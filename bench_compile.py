@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--no-cache", action="store_true",
                     help="use a throwaway compile-cache dir (true cold)")
     ap.add_argument("--k", type=int, default=256)
+    ap.add_argument("--fs", type=float, default=10e6)
+    ap.add_argument("--nvfo", type=int, default=8)
     args = ap.parse_args()
 
     cache = (tempfile.mkdtemp(prefix="jaxcache") if args.no_cache else
@@ -42,7 +44,9 @@ def main():
     from sdrtpu.apps.wbfm_pipeline import WbfmMultiVfoPipeline
     from sdrtpu.graph.compile import complexify, realify
 
-    fs_in, n_vfo, block_len, K = 10e6, 8, 500000, args.k
+    fs_in, n_vfo, K = args.fs, args.nvfo, args.k
+    m = WbfmMultiVfoPipeline.block_multiple(fs_in)
+    block_len = (max(500_000, int(fs_in / 20)) // m) * m
     offsets = np.linspace(-0.4 * fs_in, 0.4 * fs_in, n_vfo)
     pipe = WbfmMultiVfoPipeline(offsets, fs_in, block_len,
                                 channelizer_method="fft", spectrum=True)
@@ -64,6 +68,7 @@ def main():
         t_compile = time.time() - t0
         rec = {
             "phase": name,
+            "config": f"{n_vfo}vfo_fs{fs_in:.0f}",
             "trace_lower_s": round(t_trace, 2),
             "backend_compile_s": round(t_compile, 2),
             "stablehlo_bytes": len(hlo),

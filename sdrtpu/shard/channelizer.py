@@ -643,7 +643,25 @@ class FftDecimatorChain(StreamOp):
                 Fp = jnp.fft.fft(jax.lax.complex(o_re, o_im))
             else:
                 Fp = self.poly_spectrum(self.chunk_matrix(ext, P))
-            S = jnp.einsum("psk,csk->cpk", Fp, hf)  # 1/R folded into G
+            # Alias fold: at small C the "psk,csk->cpk" einsum pads the
+            # MXU's C-wide output (~94% lane waste at C=8); the
+            # k-batched dot_general form (nif,P,R)@(nif,R,C) measured
+            # 28% faster incl. its layout transposes (exp/fold8.py) and
+            # lifts the 8-VFO pipeline 6182 -> 6246 Msps.  At C=64 the
+            # isolated probe also won (17%) but the FULL pipeline
+            # REGRESSED 6135 -> 5596 (the extra transposes break the
+            # FFT->fold fusion at that scale), so the k-batched form is
+            # gated to C <= 16.  Same DEFAULT contraction precision; 1/R
+            # folded into G either way.
+            if self.n_channels <= 16:
+                Xk = jnp.transpose(Fp, (2, 0, 1))
+                Gk = jnp.transpose(hf, (2, 1, 0))
+                S = jax.lax.dot_general(
+                    Xk, Gk, (((2,), (1,)), ((0,), (0,)))
+                )
+                S = jnp.transpose(S, (2, 1, 0))  # (C, P, nif)
+            else:
+                S = jnp.einsum("psk,csk->cpk", Fp, hf)
         y = jnp.fft.ifft(S)  # (C, P, nif) — C local under shard_map
         m0 = (self.tpad - 1) // self.ratio
         y = y[:, :, m0 : m0 + self.valid // self.ratio]
