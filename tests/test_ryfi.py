@@ -209,3 +209,18 @@ def test_ber_frame_loss_curve():
     assert curve[5.0][1] > 1e-3, curve
     assert curve[5.0][0] == 1.0, curve
     assert curve[8.0][0] == 1.0, curve
+
+
+def test_rf_loopback_carrier_offset():
+    """Costas tracking recovers packets under CFO (1% of baud)."""
+    baud, fs = 20000.0, 80000.0
+    tx = RyfiTransmitter(baud, fs)
+    bb = np.concatenate([tx.idle(), tx.send([b"offset test"]), tx.idle()])
+    t = np.arange(bb.size) / fs
+    y = (bb * np.exp(2j * np.pi * 200.0 * t)).astype(np.complex64)
+    rx = RyfiReceiver(baud, fs)
+    pkts = []
+    B = 16384
+    for i in range(0, len(y) // B * B, B):
+        pkts += rx.process(y[i:i + B])
+    assert pkts == [b"offset test"], (rx.frames_decoded, rx.frames_failed)
