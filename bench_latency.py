@@ -171,7 +171,6 @@ def main():
             "threaded_latency_ms_p50": round(float(np.median(tlat)), 1),
             "threaded_latency_ms_p95": round(
                 float(np.percentile(tlat, 95)), 1),
-            "threaded_latency_ms_median": round(float(np.median(tlat)), 1),
             "compile_s": round(compile_s, 1),
         }
         print(json.dumps(rec), flush=True)

@@ -397,6 +397,7 @@ class Receiver:
         # ceil(RTT / block_interval) + 1, clamped to [2, 16] (VERDICT r4
         # #4a).  0 = fully synchronous (previous behavior).
         self.async_fetch = async_fetch
+        self._emit_error = None
         self._fetch_pool = None
         self._emit_q = None
         self._emitter = None
@@ -468,21 +469,36 @@ class Receiver:
                 )
             old = fe.vfos[name]
             offset = old.cfg.offset_hz
+            # bandwidth=None keeps the VFO's configured bandwidth for
+            # modes it applies to (review finding r5: it used to reset
+            # to the mode default AND mis-key the cache)
+            new_bw = bandwidth if bandwidth is not None else old.cfg.bandwidth
+
+            def _cfg_key():
+                # the cached closures capture the WHOLE frontend, so the
+                # key must cover every VFO's demod-relevant config — a
+                # per-VFO key could replay a trace holding a sibling
+                # VFO's stale chain (review finding r5)
+                return tuple(sorted(
+                    (n, v.cfg.mode, v.cfg.bandwidth)
+                    for n, v in fe.vfos.items()
+                ))
+
             # remember the outgoing program so switching back is instant
             self._mode_programs.setdefault(
-                (name, old.cfg.mode, old.cfg.bandwidth),
-                (old, self._step, self._step_scan))
-            key = (name, mode,
-                   bandwidth if bandwidth is not None else None)
-            cached = self._mode_programs.get(key)
+                _cfg_key(), (old, self._step, self._step_scan))
+            want = tuple(sorted(
+                (n, mode if n == name else vv.cfg.mode,
+                 new_bw if n == name else vv.cfg.bandwidth)
+                for n, vv in fe.vfos.items()
+            ))
+            cached = self._mode_programs.get(want)
             if cached is not None:
                 new, self._step, self._step_scan = cached
                 fe.vfos[name] = new
             else:
                 cfg = dataclasses.replace(
-                    old.cfg, mode=mode,
-                    bandwidth=(bandwidth if bandwidth is not None
-                               else None))
+                    old.cfg, mode=mode, bandwidth=new_bw)
                 new = Vfo(cfg, fe.effective_samplerate,
                           old.radio.audio_rate, emit_iq=old.emit_iq)
                 inner = self.block_len // fe.decimation
@@ -493,7 +509,7 @@ class Receiver:
                 new.bind(inner)
                 fe.vfos[name] = new
                 self._build_steps()
-                self._mode_programs[key] = (
+                self._mode_programs[_cfg_key()] = (
                     new, self._step, self._step_scan)
             # swap ONLY the switched VFO's subtree: whole-state
             # complexify/realify costs one device op per leaf (~0.4 s
@@ -641,6 +657,13 @@ class Receiver:
                 return
             try:
                 self._emit(*fut.result())
+            except Exception as e:  # noqa: BLE001
+                # a failing sink must not kill the emitter: in sync mode
+                # the exception reaches the push() caller; here the
+                # thread records it and keeps draining (otherwise the
+                # bounded queue fills and push()/sync() deadlock
+                # silently — review finding r5).  sync() re-raises.
+                self._emit_error = e
             finally:
                 self._emit_q.task_done()
 
@@ -651,9 +674,15 @@ class Receiver:
         self._emit_q.put(self._fetch_pool.submit(self._materialize, payload))
 
     def sync(self) -> None:
-        """Block until every dispatched result has reached its sinks."""
+        """Block until every dispatched result has reached its sinks.
+
+        Re-raises the first sink/materialize error the emitter thread
+        swallowed (it keeps draining so push() never deadlocks)."""
         if self._emit_q is not None:
             self._emit_q.join()
+        if self._emit_error is not None:
+            err, self._emit_error = self._emit_error, None
+            raise err
 
     def warmup(self) -> None:
         """Compile the processing step ahead of live data.

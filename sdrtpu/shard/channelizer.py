@@ -653,7 +653,11 @@ class FftDecimatorChain(StreamOp):
             # FFT->fold fusion at that scale), so the k-batched form is
             # gated to C <= 16.  Same DEFAULT contraction precision; 1/R
             # folded into G either way.
-            if self.n_channels <= 16:
+            # gate on the LOCAL channel count (hf leading dim): under
+            # shard_map the per-shard C is n_channels / channel_shards,
+            # and the contraction shape — not the global VFO count — is
+            # what the formulation choice depends on (review finding r5)
+            if hf.shape[0] <= 16:
                 Xk = jnp.transpose(Fp, (2, 0, 1))
                 Gk = jnp.transpose(hf, (2, 1, 0))
                 S = jax.lax.dot_general(

@@ -421,3 +421,38 @@ class TestAsyncFetchAndModeSwitch:
         rx.push(iq[:half])
         rx.flush()
         assert len(audio) > n_before + 1
+
+    def test_async_sink_error_surfaces_without_deadlock(self):
+        fs = 400000.0
+        iq = make_nfm_capture(fs, 100000.0, 800.0, 1 << 16)
+        calls = []
+
+        def bad_sink(a):
+            calls.append(a)
+            if len(calls) == 2:
+                raise RuntimeError("sink blew up")
+
+        fe = IQFrontend(fs, {"v0": VfoConfig(100000.0, "nfm")},
+                        spectrum=False)
+        rx = Receiver(fe, block_len=fe.block_multiple(),
+                      audio_sinks={"v0": bad_sink}, async_fetch=2)
+        rx.push(iq)  # must NOT deadlock on the emitter thread dying
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="sink blew up"):
+            rx.flush()  # flush -> sync re-raises the recorded error
+        assert len(calls) > 2, "emitter stopped draining after the error"
+
+    def test_set_mode_preserves_configured_bandwidth(self):
+        fs = 1_000_000.0
+        fe = IQFrontend(
+            fs, {"v0": VfoConfig(0.0, "nfm", bandwidth=12500.0)},
+            spectrum=False)
+        # block sized for both modes' quanta (wfm 250k IF / nfm 50k IF)
+        from sdrtpu.apps.receiver import Vfo
+
+        wfm_q = Vfo(VfoConfig(0.0, "wfm"), fs, 48000.0).block_multiple()
+        block = int(np.lcm(fe.block_multiple(), wfm_q))
+        rx = Receiver(fe, block_len=block)
+        rx.set_mode("v0", "wfm")
+        rx.set_mode("v0", "nfm")
+        assert fe.vfos["v0"].cfg.bandwidth == 12500.0
