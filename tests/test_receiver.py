@@ -456,3 +456,45 @@ class TestAsyncFetchAndModeSwitch:
         rx.set_mode("v0", "wfm")
         rx.set_mode("v0", "nfm")
         assert fe.vfos["v0"].cfg.bandwidth == 12500.0
+
+    def test_concurrent_reconfig_soak(self):
+        """push() racing retune()/set_mode() from a control thread (the
+        webview/rigctl pattern) with async fetch on: no exceptions, no
+        deadlock, audio keeps flowing."""
+        import threading
+
+        fs = 1_000_000.0
+        n = 1 << 18
+        t = np.arange(n) / fs
+        ph = np.cumsum(2 * np.pi * 75000.0 * 0.9 * np.sin(2 * np.pi * 800.0 * t) / fs)
+        iq = (0.7 * np.exp(1j * (2 * np.pi * 250000.0 * t + ph))
+              ).astype(np.complex64)
+        fe = IQFrontend(fs, {"v0": VfoConfig(250000.0, "wfm", stereo=False)},
+                        spectrum=False)
+        audio = []
+        from sdrtpu.apps.receiver import Vfo
+
+        nfm_q = Vfo(VfoConfig(0.0, "nfm"), fs, 48000.0).block_multiple()
+        block = int(np.lcm(fe.block_multiple(), nfm_q))
+        rx = Receiver(fe, block_len=block, audio_sinks={"v0": audio.append},
+                      async_fetch=3)
+        errors = []
+
+        def control():
+            try:
+                for i in range(12):
+                    rx.retune("v0", 250000.0 + (i % 3) * 10000.0)
+                    if i % 4 == 3:
+                        rx.set_mode("v0", "nfm")
+                        rx.set_mode("v0", "wfm")
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        th = threading.Thread(target=control)
+        th.start()
+        for i in range(0, n, 16384):
+            rx.push(iq[i:i + 16384])
+        th.join()
+        rx.flush()
+        assert not errors, errors
+        assert audio and all(np.isfinite(a).all() for a in audio)
