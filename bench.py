@@ -164,7 +164,13 @@ def main():
     # Sustained: chain N dispatches through the state dependency and time
     # the whole sequence.  A host fetch of an on-device reduction forces
     # real completion (block_until_ready alone can return early on this
-    # backend's async runtime).
+    # backend's async runtime).  One untimed settle pass first: the first
+    # timed window otherwise absorbs one-time runtime warmup (~40% low
+    # in every recorded artifact) and drags the median below steady
+    # state.
+    for _ in range(8):
+        rstate, (audio, wf) = multi(rstate)
+    float(jnp.sum(audio))
     passes = []
     for _ in range(5):
         n_disp = 32
