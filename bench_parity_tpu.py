@@ -49,12 +49,16 @@ import jax.numpy as jnp  # noqa: E402
 
 from sdrtpu.graph.compile import complexify, realify  # noqa: E402
 
+# Floors sit ~10 dB under the round-5 TPU measurements (IF 68/64.5,
+# oracle 51.1, pipeline 65.7/60.9) so a genuine precision regression
+# trips the gate while session noise cannot.  VERDICT r4 #1 originally
+# asked >=40/45; tightened once the droop fixes landed.
 FLOORS = {
-    "if_separation_db": 40.0,
-    "if_sinad_db": 45.0,
-    "oracle_snr_db": 30.0,
-    "pipeline_separation_db": 45.0,
-    "pipeline_sinad_db": 45.0,
+    "if_separation_db": 55.0,
+    "if_sinad_db": 55.0,
+    "oracle_snr_db": 40.0,
+    "pipeline_separation_db": 55.0,
+    "pipeline_sinad_db": 50.0,
 }
 
 
