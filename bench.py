@@ -75,6 +75,13 @@ def main():
                                 channelizer_method=method,
                                 sparse_fold_db=(float(sparse_db)
                                                 if sparse_db else None),
+                                # rotator elimination (round 5): the FM
+                                # discriminator compensates the residual
+                                # carrier with one constant multiply —
+                                # exact algebra (test_scan_call), +4%
+                                # measured; SDRTPU_SKIP_ROT=0 reverts
+                                skip_rotator=(os.environ.get(
+                                    "SDRTPU_SKIP_ROT", "1") != "0"),
                                 spectrum=spectrum)
     log(f"channelizer method: {pipe.channelizer.method}")
     log(f"devices: {jax.devices()}")

@@ -53,6 +53,7 @@ class WbfmMultiVfoPipeline(StreamOp):
         fft_size: int = 65536,
         fft_rate: float = 20.0,
         pilot_mode: str = "envelope",
+        skip_rotator: bool = False,
     ):
         self.offsets = np.asarray(offsets_hz, np.float64)
         self.n_channels = len(self.offsets)
@@ -65,9 +66,17 @@ class WbfmMultiVfoPipeline(StreamOp):
         # — the dense fold's FLOPs scale with C*nfft and dominate at many
         # channels, while only the few alias rows crossing each channel's
         # passband carry energy.  Measured slower at C=8, faster at C=64.
+        # skip_rotator (opt-in, round 5): the FM discriminator is
+        # rotation-transparent, so the channelizer's per-sample residual
+        # rotator can be skipped and compensated by one per-channel
+        # constant multiply inside the discriminator product (exact
+        # algebra; the residual angle rides in the demod's quad state so
+        # retunes stay a table swap).
+        self.skip_rotator = bool(skip_rotator)
         self.channelizer = Channelizer(
             self.offsets, in_samplerate, if_rate, block_len,
             method=channelizer_method, sparse_thresh_db=sparse_fold_db,
+            skip_rotator=self.skip_rotator,
         )
         # The 15 kHz audio lowpass (`BroadcastFm(low_pass=True)`'s two
         # 237-tap FIRs, ~0.06 ms/block) is folded into the audio
@@ -94,6 +103,7 @@ class WbfmMultiVfoPipeline(StreamOp):
             low_pass=False,
             pilot_mode=pilot_mode,
             subcarrier_droop_comp=True,
+            channel_derotate=self.skip_rotator,
         )
         # Audio is real stereo: resample in float32 (half the arithmetic
         # and HBM traffic of the complex path).
@@ -135,12 +145,19 @@ class WbfmMultiVfoPipeline(StreamOp):
         return front.block_multiple() * audio.block_multiple()
 
     def init_state(self):
-        return {
+        st = {
             "chan": self.channelizer.init_state(),
             "demod": self.demod.init_state(),
             "audio": self.audio_resamp.init_state(),
             "deemph": self.deemph.init_state(),
         }
+        if self.skip_rotator:
+            st["demod"] = dict(st["demod"])
+            st["demod"]["quad"] = {
+                "prev": st["demod"]["quad"]["prev"],
+                "rot": self.channelizer.fused.residual_omega.copy(),
+            }
+        return st
 
     def out_len(self, n: int) -> int:
         n_if = self.channelizer.out_len(n)
@@ -158,6 +175,11 @@ class WbfmMultiVfoPipeline(StreamOp):
         st = dict(state)
         st["chan"] = self.channelizer.retune_state(state["chan"], offsets_hz)
         self.offsets = np.asarray(offsets_hz, np.float64)
+        if self.skip_rotator:
+            st["demod"] = dict(st["demod"])
+            q = dict(st["demod"]["quad"])
+            q["rot"] = self.channelizer.fused.residual_omega.copy()
+            st["demod"]["quad"] = q
         return st
 
     def __call__(self, state, x):

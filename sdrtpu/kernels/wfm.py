@@ -80,6 +80,7 @@ class BroadcastFm(StreamOp):
         pilot_mode: str = "normalized",
         mpx_eq: bool = False,
         subcarrier_droop_comp: bool = False,
+        channel_derotate: bool = False,
     ):
         self.samplerate = float(samplerate)
         self.stereo = stereo
@@ -115,7 +116,11 @@ class BroadcastFm(StreamOp):
                           + np.sinc((38000.0 + f) / self.samplerate))
             self.subcarrier_comp = np.float32(2.0 / (gain.max() + gain.min()))
 
-        self.quad = Quadrature(deviation, samplerate)
+        # channel_derotate: see kernels/demod.py Quadrature — lets the
+        # upstream DDC skip its residual rotator (the per-channel
+        # residual angle lives in quad state; pipeline seeds/retunes it)
+        self.quad = Quadrature(deviation, samplerate,
+                               channel_derotate=channel_derotate)
         pilot_taps = tapsmod.band_pass(
             18750.0, 19250.0, 3000.0, samplerate, odd_tap_count=True
         )

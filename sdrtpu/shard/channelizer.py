@@ -259,6 +259,7 @@ class ModulatedDecimatorChain(StreamOp):
         self._live = fresh._live
         self._phase0 = fresh._phase0
         self.rot = fresh.rot
+        self.residual_omega = fresh.residual_omega
         return new
 
     def out_len(self, n: int) -> int:
@@ -389,6 +390,7 @@ class FftDecimatorChain(StreamOp):
     """
 
     def __init__(self, offsets_hz, samplerate, stages, block_len,
+                 skip_rotator=False,
                  sparse_thresh_db: float | None = None):
         offsets = np.asarray(offsets_hz, np.float64)
         self.n_channels = len(offsets)
@@ -515,6 +517,18 @@ class FftDecimatorChain(StreamOp):
         self._phase0 = np.mod(-omega_p * (self.tpad - 1), _TWO_PI).astype(
             np.float32
         )
+        # skip_rotator: emit the IF rows WITHOUT the residual derotation.
+        # An FM discriminator consumer is rotation-transparent — the
+        # residual carrier adds only the constant `residual_omega` to
+        # each product sample (constant phases like phase0 cancel in
+        # y[n]*conj(y[n-1]) entirely) — so it can compensate with one
+        # per-channel constant multiply instead of the per-sample
+        # rotator (round-5 analysis).  NOT valid for consumers that
+        # project to real (SSB/CW) or mix further.
+        self.skip_rotator = bool(skip_rotator)
+        self.residual_omega = np.mod(
+            -_TWO_PI * offsets * R / float(samplerate), _TWO_PI
+        ).astype(np.float32)
 
     def init_state(self):
         rot = self.rot.init_state()
@@ -545,6 +559,7 @@ class FftDecimatorChain(StreamOp):
         """
         fresh = FftDecimatorChain(
             offsets_hz, samplerate, stages, self.block_len,
+            skip_rotator=self.skip_rotator,
             sparse_thresh_db=self._sparse_thresh,
         )
         assert fresh.nfft == self.nfft and fresh.ratio == self.ratio, (
@@ -574,6 +589,7 @@ class FftDecimatorChain(StreamOp):
                 setattr(self, attr, getattr(fresh, attr))
         self._phase0 = fresh._phase0
         self.rot = fresh.rot
+        self.residual_omega = fresh.residual_omega
         return new
 
     def out_len(self, n: int) -> int:
@@ -670,7 +686,9 @@ class FftDecimatorChain(StreamOp):
         m0 = (self.tpad - 1) // self.ratio
         y = y[:, :, m0 : m0 + self.valid // self.ratio]
         y = y.reshape(y.shape[0], n // self.ratio)
-        if K == 1:
+        if self.skip_rotator:
+            st_rot = state["rot"]
+        elif K == 1:
             st_rot, y = self.rot(state["rot"], y)
         else:
             st_rot, y = self.rot.rotate_blocks(state["rot"], y, K)
@@ -712,8 +730,10 @@ class Channelizer(StreamOp):
         low_pass_bw: float | None = None,
         method: str = "auto",
         sparse_thresh_db: float | None = None,
+        skip_rotator: bool = False,
     ):
         self.offsets = np.asarray(offsets_hz, np.float64)
+        self.skip_rotator = bool(skip_rotator)
         self.resampler = RationalResampler(in_samplerate, out_samplerate)
         assert block_len % self.resampler.block_multiple() == 0, (
             f"block_len {block_len} not a multiple of "
@@ -787,7 +807,8 @@ class Channelizer(StreamOp):
             self.mixer = None
         elif method in ("xla-fused", "fft"):
             cls = ModulatedDecimatorChain if method == "xla-fused" else FftDecimatorChain
-            kw = ({"sparse_thresh_db": sparse_thresh_db}
+            kw = ({"sparse_thresh_db": sparse_thresh_db,
+                   "skip_rotator": self.skip_rotator}
                   if method == "fft" else {})
             self.fused = cls(
                 self.offsets,
@@ -808,6 +829,11 @@ class Channelizer(StreamOp):
                 [-f for f in self.offsets], in_samplerate, block_len
             )
 
+        if self.skip_rotator and self.method != "fft":
+            raise ValueError(
+                "skip_rotator is only supported on the fft channelizer "
+                f"(resolved method: {self.method})"
+            )
         if low_pass_bw is not None:
             self.lpf = Fir(
                 tapsmod.low_pass(

@@ -68,7 +68,8 @@ class ShardedWbfmPipeline:
             f"n_time * block_multiple"
         )
         self.front = FftDecimatorChain(
-            np.asarray(offsets_hz, np.float64), in_samplerate, stages, local
+            np.asarray(offsets_hz, np.float64), in_samplerate, stages, local,
+            skip_rotator=self.pipe.skip_rotator,
         )
         self._if_spec = NamedSharding(mesh, P("channel", None))
 
