@@ -245,7 +245,10 @@ def phase_c(result):
     m = WbfmMultiVfoPipeline.block_multiple(fs)
     block_len = (500_000 // m) * m
     offsets = np.linspace(-0.4 * fs, 0.4 * fs, 8)
-    pipe = WbfmMultiVfoPipeline(offsets, fs, block_len, spectrum=False)
+    # skip_rotator=True matches the bench flagship configuration (the
+    # discriminator-compensated path is what ships)
+    pipe = WbfmMultiVfoPipeline(offsets, fs, block_len, spectrum=False,
+                                skip_rotator=True)
     ch = 3
     n_blocks = 10
 
