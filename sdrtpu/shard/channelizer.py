@@ -259,7 +259,6 @@ class ModulatedDecimatorChain(StreamOp):
         self._live = fresh._live
         self._phase0 = fresh._phase0
         self.rot = fresh.rot
-        self.residual_omega = fresh.residual_omega
         return new
 
     def out_len(self, n: int) -> int:
